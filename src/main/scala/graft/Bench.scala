@@ -1,24 +1,88 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.agg.SketchFunctions._
+import graft.data.CorpusGenerator
+
+/**
+ * Benchmark main (driver-run per round → BENCH_r{N}.json).
+ *
+ * Emits ONE JSON line: headline metric = Count-Min sketch-build throughput
+ * (M rows/s) on a ≥10M-row deterministic zipf corpus — the BASELINE.md
+ * yardstick against the reference's single-core update-loop numbers
+ * (/root/reference/data/throughput.txt) — plus per-query wall times over the
+ * driver's sf directory.
+ */
 object Bench {
+
+  def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** CM/TopK/HLL build throughput over `rows` generated corpus rows. */
+  def sketchThroughput(spark: SparkSession, rows: Long, parts: Int): Map[String, Double] = {
+    val corpus = CorpusGenerator.keyed(spark, rows, parts).cache()
+    corpus.count() // materialize outside the timed region
+    val (_, cmSec) = time {
+      corpus.agg(cm_sketch(col("token"), col("weight"), eps = 1e-4)).head()
+    }
+    val (_, topkSec) = time {
+      corpus.agg(cm_topk(col("token"), lit(1L), capacity = 4096, eps = 1e-4)).head()
+    }
+    val (_, hllSec) = time {
+      corpus.agg(hll_sketch(col("token"), p = 14)).head()
+    }
+    val (_, kllSec) = time {
+      corpus.agg(kll_sketch(col("weight").cast("double"), k = 200)).head()
+    }
+    corpus.unpersist()
+    Map(
+      "cm_build_sec" -> cmSec,
+      "cm_build_mrows_per_sec" -> rows / cmSec / 1e6,
+      "topk_build_sec" -> topkSec,
+      "topk_build_mrows_per_sec" -> rows / topkSec / 1e6,
+      "hll_build_sec" -> hllSec,
+      "hll_build_mrows_per_sec" -> rows / hllSec / 1e6,
+      "kll_build_sec" -> kllSec,
+      "kll_build_mrows_per_sec" -> rows / kllSec / 1e6)
+  }
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-bench")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors() / 2).toString)
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val corpusStats = sketchThroughput(spark, benchRows, cpus.toInt * 4)
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = queryTimes.map(_._2).sum
+    val extras = corpusStats.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",")
+    println(s"""{"metric":"cm_build_mrows_per_sec","value":${
+      f"${corpusStats("cm_build_mrows_per_sec")}%.3f"
+    },"unit":"Mrows/s","total_query_sec":${f"$total%.3f"},"bench_rows":$benchRows,"cpus":$cpus,$extras,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,157 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, Encoders, SparkSession}
+import org.apache.spark.sql.functions
+import graft.sketch._
+
+/**
+ * User-facing surface of the sketch library: `Column`-returning builders
+ * (usable directly in `df.agg(...)`) plus SQL registration under stable
+ * names. Scalar query functions decode the fixed binary layout
+ * ([[graft.sketch.SketchIO]]), mirroring the reference's split between
+ * sketch build (update loop) and the point-query service that answers key
+ * batches against finished sketch state
+ * (/root/reference/KernelQueue/main.c:63-144).
+ */
+/** Decoded heavy-hitter entry: sketch-estimated count per key. */
+final case class TopKEntry(key: String, est: Long)
+
+object SketchFunctions {
+
+  import SketchAggregators._
+
+  private val tupleStrLong = Encoders.product[(String, Long)]
+
+  // ---- aggregate builders (Column API)
+
+  /** Count-Min build: `cm_sketch(key, weight)` → binary sketch. */
+  def cm_sketch(key: Column, weight: Column, eps: Double = 1e-4,
+      delta: Double = 0.01, seed: Long = CountMinSketch.DefaultSeed): Column =
+    functions.udaf(new CmAggregator(eps, delta, seed), tupleStrLong)
+      .apply(key, weight)
+
+  /** Merge pre-built CM sketches (shards → one). */
+  def cm_merge(sketch: Column): Column =
+    functions.udaf(new CmMergeAggregator, Encoders.BINARY).apply(sketch)
+
+  /** Heavy-hitter build: CM + candidate heap of `capacity` keys. */
+  def cm_topk(key: Column, weight: Column, capacity: Int, eps: Double = 1e-4,
+      delta: Double = 0.01, seed: Long = CountMinSketch.DefaultSeed): Column =
+    functions.udaf(new TopKAggregator(capacity, eps, delta, seed), tupleStrLong)
+      .apply(key, weight)
+
+  def hll_sketch(key: Column, p: Int = 14,
+      seed: Long = HyperLogLog.DefaultSeed): Column =
+    functions.udaf(new HllAggregator(p, seed), Encoders.STRING).apply(key)
+
+  def bloom_sketch(key: Column, expectedItems: Long, fpp: Double = 0.01,
+      seed: Long = BloomFilter.DefaultSeed): Column =
+    functions.udaf(new BloomAggregator(expectedItems, fpp, seed), Encoders.STRING)
+      .apply(key)
+
+  def kll_sketch(x: Column, k: Int = 200,
+      seed: Long = KllSketch.DefaultSeed): Column =
+    functions.udaf(new KllAggregator(k, seed),
+      Encoders.DOUBLE)
+      .apply(x)
+
+  def tdigest_sketch(x: Column, compression: Double = 100.0): Column =
+    functions.udaf(new TDigestAggregator(compression),
+      Encoders.DOUBLE)
+      .apply(x)
+
+  // ---- scalar query functions over serialized sketches
+
+  /** Point-frequency estimate of `key` from a serialized CM sketch. */
+  val cmQueryUdf: (Array[Byte], String) => Long = (bytes, key) =>
+    if (bytes == null || key == null) -1L
+    else CountMinSketch.deserialize(bytes).query(key)
+
+  def cm_query(sketch: Column, key: Column): Column =
+    functions.udf(cmQueryUdf).apply(sketch, key)
+
+  /** Total stream weight N recorded in a CM sketch (for ε·N bounds). */
+  def cm_total(sketch: Column): Column =
+    functions.udf((bytes: Array[Byte]) =>
+      if (bytes == null) -1L else CountMinSketch.deserialize(bytes).totalWeight
+    ).apply(sketch)
+
+  /** Top-k entries of a serialized TopK sketch → array<struct<key,est>>. */
+  def topk_entries(sketch: Column, k: Int): Column =
+    functions.udf((bytes: Array[Byte]) =>
+      if (bytes == null) Array.empty[TopKEntry]
+      else TopKSketch.deserialize(bytes).topK(k).map(e => TopKEntry(e._1, e._2))
+    ).apply(sketch)
+
+  def hll_count(sketch: Column): Column =
+    functions.udf((bytes: Array[Byte]) =>
+      if (bytes == null) -1L else HyperLogLog.deserialize(bytes).estimateLong()
+    ).apply(sketch)
+
+  def hll_stderr(sketch: Column): Column =
+    functions.udf((bytes: Array[Byte]) =>
+      if (bytes == null) Double.NaN else HyperLogLog.deserialize(bytes).standardError
+    ).apply(sketch)
+
+  def bloom_contains(sketch: Column, key: Column): Column =
+    functions.udf((bytes: Array[Byte], key: String) =>
+      bytes != null && key != null && BloomFilter.deserialize(bytes).mightContain(key)
+    ).apply(sketch, key)
+
+  def kll_quantile(sketch: Column, q: Column): Column =
+    functions.udf((bytes: Array[Byte], q: Double) =>
+      if (bytes == null) Double.NaN else KllSketch.deserialize(bytes).quantile(q)
+    ).apply(sketch, q)
+
+  def kll_n(sketch: Column): Column =
+    functions.udf((bytes: Array[Byte]) =>
+      if (bytes == null) -1L else KllSketch.deserialize(bytes).n
+    ).apply(sketch)
+
+  def tdigest_quantile(sketch: Column, q: Column): Column =
+    functions.udf((bytes: Array[Byte], q: Double) =>
+      if (bytes == null) Double.NaN else TDigest.deserialize(bytes).quantile(q)
+    ).apply(sketch, q)
+
+  def tdigest_rank(sketch: Column, x: Column): Column =
+    functions.udf((bytes: Array[Byte], x: Double) =>
+      if (bytes == null) Double.NaN else TDigest.deserialize(bytes).rank(x)
+    ).apply(sketch, x)
+
+  // ---- SQL registration
+
+  /** Register every aggregate + scalar under `cm_sketch`-style SQL names
+    * with library-default parameters. */
+  def register(spark: SparkSession): Unit = {
+    val r = spark.udf
+    r.register("cm_sketch",
+      functions.udaf(new CmAggregator(1e-4, 0.01, CountMinSketch.DefaultSeed), tupleStrLong))
+    r.register("cm_merge", functions.udaf(new CmMergeAggregator, Encoders.BINARY))
+    r.register("cm_topk",
+      functions.udaf(new TopKAggregator(1024, 1e-4, 0.01, CountMinSketch.DefaultSeed), tupleStrLong))
+    r.register("hll_sketch",
+      functions.udaf(new HllAggregator(14, HyperLogLog.DefaultSeed), Encoders.STRING))
+    r.register("bloom_sketch",
+      functions.udaf(new BloomAggregator(1 << 20, 0.01, BloomFilter.DefaultSeed), Encoders.STRING))
+    r.register("kll_sketch",
+      functions.udaf(new KllAggregator(200, KllSketch.DefaultSeed),
+        Encoders.DOUBLE))
+    r.register("tdigest_sketch",
+      functions.udaf(new TDigestAggregator(100.0),
+        Encoders.DOUBLE))
+    r.register("cm_query", cmQueryUdf)
+    r.register("cm_total", (b: Array[Byte]) =>
+      if (b == null) -1L else CountMinSketch.deserialize(b).totalWeight)
+    r.register("hll_count", (b: Array[Byte]) =>
+      if (b == null) -1L else HyperLogLog.deserialize(b).estimateLong())
+    r.register("bloom_contains", (b: Array[Byte], k: String) =>
+      b != null && k != null && BloomFilter.deserialize(b).mightContain(k))
+    r.register("kll_quantile", (b: Array[Byte], q: Double) =>
+      if (b == null) Double.NaN else KllSketch.deserialize(b).quantile(q))
+    r.register("tdigest_quantile", (b: Array[Byte], q: Double) =>
+      if (b == null) Double.NaN else TDigest.deserialize(b).quantile(q))
+    r.register("topk_entries", (b: Array[Byte], k: Int) =>
+      if (b == null) Array.empty[TopKEntry]
+      else TopKSketch.deserialize(b).topK(k).map(e => TopKEntry(e._1, e._2)))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic synthetic source-code corpus (FIXTURES.md F1): the
+ * `(repo, path, commit, lang, content, content_sha)` table of
+ * `BASELINE.json:input_hint`, generated entirely with codegen'd built-ins —
+ * `spark.range` → `xxhash64` → closed-form skew transforms. No UDFs, no
+ * driver-side loops, no RNG state: row i's content is a pure function of i,
+ * so any slice of the table can be (re)generated independently on any
+ * executor — which is what makes 10¹²-row framing plausible: the generator
+ * is itself an embarrassingly parallel scan.
+ *
+ * Skew model (mirroring the reference's Zipf traffic generation,
+ * /root/reference/Generator/Program.cs:199-243): ranks drawn log-uniformly
+ * (`maxRank^u`) ≈ zipf(s≈1) tails for repos/tokens; languages geometric with
+ * the top language >40% of rows (the salted-repartition stressor).
+ *
+ * The sha256 invariant of `input_hint` is carried as `content_sha` =
+ * sha2(content); [[verifySha]] re-derives and checks it end-to-end.
+ */
+object CorpusGenerator {
+
+  private def u(seed: Int, c: org.apache.spark.sql.Column) =
+    (xxhash64(c, lit(seed)).cast("double") / lit(1.8446744073709552E19)) + lit(0.5)
+
+  /** Zipf-ish rank in [1, maxRank]: maxRank^u is log-uniform. */
+  private def zipfRank(seed: Int, c: org.apache.spark.sql.Column, maxRank: Int) =
+    pow(lit(maxRank.toDouble), u(seed, c)).cast("long")
+
+  /** Geometric language index, P(0) ≈ 42%. */
+  private def langIdx(seed: Int, c: org.apache.spark.sql.Column) =
+    least(lit(19), floor(-log(u(seed, c)) / lit(0.55))).cast("int")
+
+  private val Langs = Array("scala", "java", "python", "c", "cpp", "go", "rust",
+    "js", "ts", "ruby", "php", "swift", "kotlin", "sql", "sh", "html", "css",
+    "yaml", "json", "md")
+
+  /** Key-stream corpus (no content) for throughput benchmarks: columns
+    * (id, repo, lang, path, token, weight). */
+  def keyed(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
+    val base = spark.range(0L, rows, 1L, partitions)
+    base.select(
+      col("id"),
+      concat(lit("org"), zipfRank(1, col("id"), 1000), lit("/repo"),
+        zipfRank(2, col("id"), 100)).as("repo"),
+      element_at(lit(Langs), langIdx(3, col("id")) + 1).as("lang"),
+      concat(lit("tok_"), zipfRank(4, col("id"), 100000)).as("token"),
+      (pmod(xxhash64(col("id"), lit(5)), lit(100)) + 1).as("weight"))
+      .withColumn("path",
+        concat_ws("/", col("token"),
+          concat(lit("tok_"), zipfRank(6, col("id"), 100000)),
+          concat(lit("tok_"), zipfRank(7, col("id"), 100000))))
+  }
+
+  /** Full corpus with heavy-tailed pseudo-source `content` + sha256. */
+  def full(spark: SparkSession, rows: Long, partitions: Int): DataFrame = {
+    val keyedDf = keyed(spark, rows, partitions)
+    // content length ~ bounded pareto: 20·u^-0.5, capped at 2000 tokens
+    val len = least(lit(400), (lit(20.0) * pow(u(8, col("id")), lit(-0.5))).cast("int"))
+    val content = concat_ws(" ",
+      transform(sequence(lit(1), len),
+        i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(5000)))))
+    keyedDf
+      .withColumn("content", content)
+      .withColumn("content_sha", sha2(col("content"), 256))
+      .withColumn("commit",
+        lower(hex(xxhash64(col("repo"), col("path"), col("id")))))
+      .select("repo", "path", "commit", "lang", "content", "content_sha",
+        "id", "token", "weight")
+  }
+
+  /** End-to-end sha256 invariant: re-derive sha2(content) and count
+    * mismatches (must be 0 at every pipeline stage per input_hint). */
+  def verifySha(corpus: DataFrame): Long =
+    corpus.filter(sha2(col("content"), 256) =!= col("content_sha")).count()
+}

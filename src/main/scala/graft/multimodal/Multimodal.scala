@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sketch.XxHash64
+
+/** Typed multimodal record: opaque payload bytes + typed metadata. */
+final case class MediaRecord(
+    media_id: Long,
+    modality: String, // "image" | "audio" | "video"
+    payload: Array[Byte],
+    width: Int, // image/video pixels; audio: sample rate
+    height: Int, // image/video pixels; audio: channels
+    duration_ms: Long // 0 for still images
+)
+
+final case class MediaFeatures(
+    media_id: Long,
+    modality: String,
+    n_frames: Int,
+    feature: Array[Float])
+
+/**
+ * Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+ * with typed metadata, batched per-partition decode → feature extraction.
+ *
+ * The actual codec step is STUBBED (this container has no image/audio
+ * libraries): [[decodeStub]] derives a deterministic feature vector from the
+ * payload bytes via xxhash — a stand-in with the exact shape a real decoder
+ * would have. Everything Spark-side is real and tested: schema, typed
+ * Dataset API, per-partition batching (`mapPartitions`, the Scala analogue
+ * of `mapInPandas` batch processing), frame sampling, and partition-count
+ * preservation.
+ */
+object Multimodal {
+
+  final val FeatureDim = 16
+
+  /**
+   * STUB DECODER — deterministic fake. A production build replaces this with
+   * the real codec call (e.g. JNI to libjpeg/ffmpeg); the signature
+   * `(payload, frameIndex) → feature vector` is the real contract.
+   */
+  def decodeStub(payload: Array[Byte], frameIndex: Int): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < FeatureDim) {
+      val h = XxHash64.hashBytes(payload, frameIndex.toLong * 131 + i)
+      out(i) = (h.toDouble / Long.MaxValue.toDouble).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Uniform frame sampling: `n` frame indices over the clip duration
+    * (1 frame for stills/audio windows). */
+  def sampleFrames(durationMs: Long, maxFrames: Int): Array[Int] =
+    if (durationMs <= 0) Array(0)
+    else Array.tabulate(math.min(maxFrames, math.max(1, (durationMs / 1000).toInt)))(identity)
+
+  /** Batched decode + mean-pool over sampled frames. Runs per partition —
+    * no shuffle, codec state amortized across a partition's rows (the
+    * mapInPandas batch-shape contract). */
+  def extractFeatures(media: Dataset[MediaRecord], maxFrames: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val frames = sampleFrames(rec.duration_ms, maxFrames)
+        val acc = new Array[Float](FeatureDim)
+        frames.foreach { f =>
+          val feat = decodeStub(rec.payload, f)
+          var i = 0
+          while (i < FeatureDim) { acc(i) += feat(i); i += 1 }
+        }
+        var i = 0
+        while (i < FeatureDim) { acc(i) /= frames.length; i += 1 }
+        MediaFeatures(rec.media_id, rec.modality, frames.length, acc)
+      }
+    }
+  }
+
+  /** Deterministic synthetic media table derived from `documents` (payload =
+    * UTF-8 text bytes; modality round-robins by id) — real binary-column
+    * plumbing without external media files. */
+  def synthesize(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(4)) * 90 + 180).cast("int").as("height"),
+        when(pmod(col("doc_id"), lit(3)) === 2, pmod(col("doc_id"), lit(10)) * 1000 + 1000)
+          .otherwise(0L).as("duration_ms"))
+      .as[MediaRecord]
+  }
+
+  /** q27: feature-extraction census per modality (oracle-less: the decode is
+    * a stub; the Spark plumbing — schema, batching, frame sampling — is what
+    * this exercises, plus determinism via the feature checksum). */
+  def featureCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = extractFeatures(synthesize(spark, sfDir))
+    feats.toDF()
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        floor(sum(aggregate(col("feature"), lit(0.0),
+          (acc, x) => acc + x.cast("double"))) * 1000.0).cast("long")
+          .as("feature_checksum_milli"))
+      .orderBy(col("modality"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's evaluation metrics as reusable DataFrame operators, plus
+ * their gate instantiations.
+ *
+ * - [[relativeErrorOfTop]] ⇔ `RelativeErrorOfTop`
+ *   (/root/reference/Simulator/Program.cs:724-730): sort desc by true value,
+ *   take the top θ·N keys, average |est−true|/true.
+ * - [[elephantCover]] ⇔ `ElephantCover` (/root/reference/Simulator/Program.cs:715-722):
+ *   |topK(true) ∩ topK(est)| / K.
+ * - [[hhFilter]] ⇔ `HHFilter` (/root/reference/Simulator/Program.cs:732-740):
+ *   keys with true > φ·total, average relative error over them.
+ *
+ * Double-valued metrics are emitted as `floor(x·10⁶)` BIGINTs so the
+ * DuckDB-vs-Spark comparison is exact (floor semantics agree; round modes
+ * don't).
+ *
+ * The gate queries instantiate the metrics over two *exact* per-key measures
+ * (so the oracle can reproduce them); the sketch-vs-exact instantiations —
+ * where `est` comes from a narrow CM — are asserted in ScalaTest at the
+ * reference's thresholds (θ ∈ {0.005, 0.01}, φ ∈ {1/1000, 1/2000, 1/10000}).
+ */
+object MetricQueries {
+
+  private def microFloor(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
+
+  /** Avg relative error |est−true|/true over the top ⌈θ·N⌉ keys by true. */
+  def relativeErrorOfTop(perKey: DataFrame, theta: Double): DataFrame = {
+    val n = perKey.count()
+    val k = math.ceil(theta * n).toLong.max(1L)
+    // TakeOrderedAndProject (no global sort, no single-partition window)
+    perKey.orderBy(desc("true_count"), asc("k")).limit(k.toInt)
+      .agg(lit(k).as("k"),
+        microFloor(avg(abs(col("est").cast("double") - col("true_count").cast("double")) /
+          col("true_count").cast("double"))).as("avg_rel_err_micro"))
+  }
+
+  /** Hit rate |topK(true) ∩ topK(est)| / K. */
+  def elephantCover(perKey: DataFrame, theta: Double): DataFrame = {
+    val n = perKey.count()
+    val k = math.ceil(theta * n).toLong.max(1L)
+    val topTrue = perKey.orderBy(desc("true_count"), asc("k")).limit(k.toInt)
+      .select(col("k"))
+    val topEst = perKey.orderBy(desc("est"), asc("k")).limit(k.toInt)
+      .select(col("k"))
+    val hits = topTrue.join(topEst, Seq("k"), "left_semi").count()
+    perKey.sparkSession.range(1).select(
+      lit(k).as("k"),
+      lit(hits).as("hits"),
+      microFloor(lit(hits.toDouble / k)).as("hit_rate_micro"))
+  }
+
+  /** Keys with true > φ·total; avg relative error over them. */
+  def hhFilter(perKey: DataFrame, phi: Double): DataFrame = {
+    val total = perKey.agg(sum(col("true_count"))).head().getLong(0)
+    val threshold = phi * total
+    perKey.filter(col("true_count").cast("double") > threshold)
+      .agg(count(lit(1)).as("hh_keys"),
+        microFloor(avg(abs(col("est").cast("double") - col("true_count").cast("double")) /
+          col("true_count").cast("double"))).as("avg_rel_err_micro"))
+  }
+
+  // ---- gate instantiations (both measures exact → oracle-reproducible)
+
+  /** Per-user (true=all events, est=click events) — metric machinery input. */
+  private def eventsPerUser(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id").cast("string").as("k"))
+      .agg(count(lit(1)).as("true_count"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("est"))
+
+  /** q11: RelativeErrorOfTop at θ=0.05 over events per-user measures. */
+  def relErrTopGate(spark: SparkSession, sfDir: String): DataFrame =
+    relativeErrorOfTop(eventsPerUser(spark, sfDir), 0.05)
+
+  /** q12: ElephantCover at θ=0.01 over lineitem per-partkey
+    * (true=row count, est=integral Σ l_quantity). */
+  def elephantCoverGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val perKey = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").cast("string").as("k"))
+      .agg(count(lit(1)).as("true_count"),
+        sum(col("l_quantity")).cast("long").as("est"))
+    elephantCover(perKey, 0.01)
+  }
+
+  /** q13: HHFilter at φ=1/200 over events per-user measures. */
+  def hhFilterGate(spark: SparkSession, sfDir: String): DataFrame =
+    hhFilter(eventsPerUser(spark, sfDir), 1.0 / 200)
+
+  /** q14: the reference's heavy-hitter → downstream-action pipeline shape
+    * (/root/reference/Simulator/Program.cs:769-785 → link-load aggregation
+    * /root/reference/Simulation/Topology.cs:52-59): take the top-1% orders
+    * by value, explode their lineitems, aggregate per-supplier load, report
+    * the 10 most loaded suppliers. Top-order set is tiny → broadcast join. */
+  def rerouteTopGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val nOrders = ord.count()
+    val k = math.ceil(0.01 * nOrders).toLong.max(1L)
+    val top = ord.orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(k.toInt)
+      .select(col("o_orderkey"))
+    li.join(broadcast(top), li("l_orderkey") === top("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("load"))
+      .orderBy(desc("load"), asc("l_suppkey"))
+      .limit(10)
+  }
+}

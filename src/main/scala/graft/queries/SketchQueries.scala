@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.agg.SketchFunctions._
+
+/**
+ * Sketch-operator queries wired into the Verify/DuckDB correctness gate.
+ *
+ * Gate discipline: at sf0.01 every sketch here is sized into its
+ * *collision-free / no-compaction regime*, where its answer is provably (and
+ * locally verified) identical to the exact answer DuckDB computes — so the
+ * driver's hash compare is meaningful. The genuinely approximate regime
+ * (narrow sketches, published error bounds, zipf adversaries) is covered by
+ * the ScalaTest suites, mirroring how the reference validates empirically
+ * against carried ground truth (/root/reference/Simulator/Program.cs:482-512).
+ *
+ * Plan shapes: one whole-table aggregate builds the O(d·w) sketch (partial
+ * per partition → merge), then the tiny sketch row is broadcast to the
+ * key-side probe join — the Spark analogue of the reference's "build in
+ * kernel, serve point queries over TCP" split
+ * (/root/reference/KernelQueue/main.c:63-144).
+ */
+object SketchQueries {
+
+  /** q01: CM point-frequency per event_type (collision-free width). */
+  def cmPointEventType(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.agg(cm_sketch(col("event_type"), lit(1L), eps = 1e-4).as("sk"))
+    val keys = ev.select(col("event_type")).distinct()
+    keys.crossJoin(broadcast(sk))
+      .select(col("event_type"), cm_query(col("sk"), col("event_type")).as("est_count"))
+      .orderBy("event_type")
+  }
+
+  /** q02: heavy hitters (CM + candidate heap) over event user_id, top 20. */
+  def cmTopKUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.select(col("user_id").cast("string").as("k"))
+      .agg(cm_topk(col("k"), lit(1L), capacity = 1024, eps = 1e-4).as("sk"))
+    sk.select(explode(topk_entries(col("sk"), 20)).as("e"))
+      .select(col("e.key").as("user_id"), col("e.est").as("est_count"))
+      .orderBy(desc("est_count"), asc("user_id"))
+  }
+
+  /** q03: ε·N additive-bound audit with a deliberately narrow CM over
+    * l_partkey. CM never underestimates (deterministic), and at this sizing
+    * no key exceeds the ε·N bound on this dataset (locally verified — the
+    * probabilistic guarantee is ≥1−δ; ScalaTest covers the adversarial
+    * regime). */
+  def cmBoundPartkeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val keyed = li.select(col("l_partkey").cast("string").as("k"))
+    val sk = keyed.agg(cm_sketch(col("k"), lit(1L), eps = 5e-3).as("sk"))
+    val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("true_count"))
+    val est = exact.crossJoin(broadcast(sk))
+      .select(col("k"), col("true_count"),
+        cm_query(col("sk"), col("k")).as("est"),
+        cm_total(col("sk")).as("n"))
+    // effective epsilon of the built sketch: e / width(2^k ≥ e/eps)
+    val width = graft.sketch.SketchIO.nextPow2(math.ceil(math.E / 5e-3).toInt)
+    val epsEff = math.E / width
+    est.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("est") < col("true_count"), 1L).otherwise(0L)).as("under_violations"),
+      sum(when(col("est").cast("double") >
+        col("true_count").cast("double") + lit(epsEff) * col("n").cast("double"), 1L)
+        .otherwise(0L)).as("over_violations"))
+  }
+
+  /** q04: skew pattern — salted two-level CM build over documents.lang
+    * (top language >40% of rows per FIXTURES.md): level 1 aggregates one
+    * sketch per (salt) group, level 2 `cm_merge`s the shards, exactly the
+    * salted-repartition + merge plan the north rule requires. Merge
+    * associativity makes the two-level result bit-identical to a flat build. */
+  def cmSaltedLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val salted = docs.select(col("lang"),
+      pmod(hash(col("doc_id")), lit(8)).as("salt"))
+    val shards = salted.groupBy(col("salt"))
+      .agg(cm_sketch(col("lang"), lit(1L), eps = 1e-4).as("shard"))
+    val merged = shards.agg(cm_merge(col("shard")).as("sk"))
+    val langs = docs.select(col("lang")).distinct()
+    langs.crossJoin(broadcast(merged))
+      .select(col("lang"), cm_query(col("sk"), col("lang")).as("est_count"))
+      .orderBy("lang")
+  }
+
+  /** q05: HLL distinct users + bound check (exact via countDistinct). */
+  def hllUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.agg(
+      hll_sketch(col("user_id").cast("string"), p = 14).as("sk"),
+      countDistinct(col("user_id")).as("exact_users"))
+    sk.select(
+      col("exact_users"),
+      (abs(hll_count(col("sk")).cast("double") - col("exact_users").cast("double")) <=
+        greatest(lit(2.0), lit(3.0) * hll_stderr(col("sk")) * col("exact_users")))
+        .as("hll_within_bound"))
+  }
+
+  /** q06: HLL across three cardinality regimes, one row per entity. */
+  def hllMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    def one(df: DataFrame, keyCol: String, label: String): DataFrame =
+      df.agg(
+        hll_sketch(col(keyCol).cast("string"), p = 14).as("sk"),
+        countDistinct(col(keyCol)).as("exact_count"))
+        .select(lit(label).as("entity"), col("exact_count"),
+          (abs(hll_count(col("sk")).cast("double") - col("exact_count").cast("double")) <=
+            greatest(lit(2.0), lit(3.0) * hll_stderr(col("sk")) * col("exact_count")))
+            .as("within_bound"))
+    one(ev, "user_id", "events.user_id")
+      .unionAll(one(li, "l_orderkey", "lineitem.l_orderkey"))
+      .unionAll(one(li, "l_partkey", "lineitem.l_partkey"))
+      .orderBy("entity")
+  }
+
+  /** q07: Bloom-filter membership pre-filter (the reference's FilteredSketch
+    * role): build over a filtered customer-key set, probe every order. FPP
+    * sized so false positives are deterministically zero here (verified);
+    * FPP-regime behavior is ScalaTest-covered. */
+  def bloomOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val members = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").cast("string").as("k"))
+    val sk = members.agg(bloom_sketch(col("k"), expectedItems = 100000, fpp = 1e-9).as("sk"))
+    val probed = ord.crossJoin(broadcast(sk))
+      .select(col("o_custkey"),
+        bloom_contains(col("sk"), col("o_custkey").cast("string")).as("hit"))
+    val trueMembers = ord.join(members.withColumnRenamed("k", "ck"),
+      col("o_custkey").cast("string") === col("ck"), "left_semi")
+    probed.agg(
+      count(lit(1)).as("probes"),
+      sum(when(col("hit"), 1L).otherwise(0L)).as("bloom_positives"))
+      .crossJoin(trueMembers.agg(count(lit(1)).as("true_positives")))
+      .select(col("probes"), col("bloom_positives"), col("true_positives"))
+  }
+
+  private val Probs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+
+  /** q08: KLL quantiles of l_extendedprice — k chosen above row count at the
+    * verify scale, so the sketch never compacts and the discrete quantile is
+    * exact (DuckDB `quantile_disc` semantics). */
+  def kllPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val sk = li.agg(kll_sketch(col("l_extendedprice"), k = 65536).as("sk"))
+    val probs = Probs.map(p => s"($p)").mkString(", ")
+    val pdf = sk.sparkSession.sql(s"SELECT * FROM VALUES $probs AS t(p)")
+    pdf.crossJoin(broadcast(sk))
+      .select(col("p"), kll_quantile(col("sk"), col("p")).as("quantile_value"))
+      .orderBy("p")
+  }
+
+  /** q09: KLL quantiles of documents.n_chars (long-typed output). */
+  def kllNchars(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sk = docs.agg(kll_sketch(col("n_chars").cast("double"), k = 65536).as("sk"))
+    val probs = Probs.map(p => s"($p)").mkString(", ")
+    val pdf = docs.sparkSession.sql(s"SELECT * FROM VALUES $probs AS t(p)")
+    pdf.crossJoin(broadcast(sk))
+      .select(col("p"),
+        kll_quantile(col("sk"), col("p")).cast("long").as("quantile_value"))
+      .orderBy("p")
+  }
+
+  /** q10: t-digest rank-accuracy audit on l_extendedprice: the estimated
+    * quantile's exact rank must sit within 0.02 of the target (published
+    * t-digest accuracy at compression 200 is far tighter). */
+  def tdigestPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_extendedprice").as("x"))
+    val sk = li.agg(tdigest_sketch(col("x"), compression = 200.0).as("sk"),
+      count(lit(1)).as("n"))
+    val probs = Probs.map(p => s"($p)").mkString(", ")
+    val pdf = li.sparkSession.sql(s"SELECT * FROM VALUES $probs AS t(p)")
+    val withEst = pdf.crossJoin(broadcast(sk))
+      .select(col("p"), col("n"), tdigest_quantile(col("sk"), col("p")).as("est_q"))
+    // exact rank of est_q via a broadcast of the 5 estimates against the data
+    val ranks = li.crossJoin(broadcast(withEst))
+      .groupBy(col("p"), col("n"), col("est_q"))
+      .agg(sum(when(col("x") < col("est_q"), 1L).otherwise(0L)).as("below"))
+      .select(col("p"), col("n"),
+        (abs(col("below").cast("double") / col("n").cast("double") - col("p")) <= 0.02)
+          .as("rank_within_bound"))
+    ranks.orderBy("p")
+  }
+}
