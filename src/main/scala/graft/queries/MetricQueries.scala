@@ -54,11 +54,13 @@ object MetricQueries {
       microFloor(lit(hits.toDouble / k)).as("hit_rate_micro"))
   }
 
-  /** Keys with true > φ·total; avg relative error over them. */
-  def hhFilter(perKey: DataFrame, phi: Double): DataFrame = {
+  /** Keys with true > total/φ⁻¹; avg relative error over them. φ is passed
+    * as its inverse and the threshold divides in-plan, so the float result
+    * is bit-identical to the oracle's `total / N` expression. */
+  def hhFilter(perKey: DataFrame, phiInverse: Double): DataFrame = {
     val total = perKey.agg(sum(col("true_count"))).head().getLong(0)
-    val threshold = phi * total
-    perKey.filter(col("true_count").cast("double") > threshold)
+    perKey.filter(col("true_count").cast("double") >
+      lit(total.toDouble) / lit(phiInverse))
       .agg(count(lit(1)).as("hh_keys"),
         microFloor(avg(abs(col("est").cast("double") - col("true_count").cast("double")) /
           col("true_count").cast("double"))).as("avg_rel_err_micro"))
@@ -89,7 +91,7 @@ object MetricQueries {
 
   /** q13: HHFilter at φ=1/200 over events per-user measures. */
   def hhFilterGate(spark: SparkSession, sfDir: String): DataFrame =
-    hhFilter(eventsPerUser(spark, sfDir), 1.0 / 200)
+    hhFilter(eventsPerUser(spark, sfDir), 200.0)
 
   /** q14: the reference's heavy-hitter → downstream-action pipeline shape
     * (/root/reference/Simulator/Program.cs:769-785 → link-load aggregation

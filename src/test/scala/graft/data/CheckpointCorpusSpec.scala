@@ -1,0 +1,68 @@
+package graft.data
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.agg.SketchFunctions._
+import graft.sketch.CountMinSketch
+
+class CheckpointCorpusSpec extends SparkTestBase {
+
+  test("corpus generator is deterministic, skewed, and partition-layout independent") {
+    val a = CorpusGenerator.full(spark, 20000, 8)
+    val b = CorpusGenerator.full(spark, 20000, 3) // different parallelism
+    // row i identical regardless of partitioning
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(repo, path, commit, lang, content, content_sha))"))
+        .head().getLong(0)
+    val ha = fingerprint(a)
+    val hb = fingerprint(b)
+    assert(ha === hb)
+    // top language carries >40% of rows (skew stressor per FIXTURES.md F1)
+    val top = a.groupBy(col("lang")).count().orderBy(desc("count")).head()
+    assert(top.getLong(1) > 8000, s"top lang ${top.getString(0)}=${top.getLong(1)}")
+  }
+
+  test("sha256 invariant holds end-to-end (generate → shuffle → verify)") {
+    val corpus = CorpusGenerator.full(spark, 10000, 8)
+      .repartition(16, col("lang")) // cross a shuffle boundary
+    assert(CorpusGenerator.verifySha(corpus) === 0L)
+  }
+
+  test("checkpointed shard build + resume == uninterrupted build, bit-exact") {
+    val dir = Files.createTempDirectory("ckpt").toString
+    val corpus = CorpusGenerator.keyed(spark, 50000, 8).cache()
+    // direct single-job build
+    val direct = corpus.agg(cm_sketch(col("token"), col("weight"), eps = 1e-3).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    // interrupted build: only 5 of 16 shards, then "crash"
+    val done1 = SketchCheckpoint.buildShards(corpus, "token", "weight",
+      numShards = 16, ckptDir = dir, eps = 1e-3, failAfterShards = 5)
+    assert(done1.size === 5)
+    assert(SketchCheckpoint.committedShards(dir) === done1)
+    // resume: completes the remaining 11
+    val done2 = SketchCheckpoint.buildShards(corpus, "token", "weight",
+      numShards = 16, ckptDir = dir, eps = 1e-3)
+    assert(done2.size === 16)
+    val resumed = SketchCheckpoint.mergeShards(spark, dir)
+    val a = CountMinSketch.deserialize(resumed)
+    val b = CountMinSketch.deserialize(direct)
+    assert(a.totalWeight === b.totalWeight)
+    assert(java.util.Arrays.equals(resumed, direct))
+    // lineage carries per-shard metrics
+    val lin = SketchCheckpoint.lineage(spark, dir).collect()
+    assert(lin.length === 16)
+    assert(lin.map(_.getAs[Long]("rows_seen")).sum === 50000L)
+    corpus.unpersist()
+  }
+
+  test("re-running a completed checkpoint is a no-op") {
+    val dir = Files.createTempDirectory("ckpt2").toString
+    val corpus = CorpusGenerator.keyed(spark, 5000, 4)
+    SketchCheckpoint.buildShards(corpus, "token", "weight", 4, dir)
+    val before = SketchCheckpoint.mergeShards(spark, dir)
+    SketchCheckpoint.buildShards(corpus, "token", "weight", 4, dir) // no-op
+    val after = SketchCheckpoint.mergeShards(spark, dir)
+    assert(java.util.Arrays.equals(before, after))
+  }
+}

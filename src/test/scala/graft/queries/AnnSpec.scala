@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class AnnSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("HOF cosine matches a scala-side reference implementation") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-1.0f, 0.5f, 2.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)))
+    val df = vecs.toDF("id", "v")
+    val a = df.select(col("id").as("id_a"), col("v").as("va"))
+    val b = df.select(col("id").as("id_b"), col("v").as("vb"))
+    val got = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        AnnQueries.cosine(col("va"), col("vb")).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, s) => (x, y) -> s }.toMap
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    for (i <- vecs.indices; j <- vecs.indices if vecs(i)._1 < vecs(j)._1) {
+      val expect = ref(vecs(i)._2, vecs(j)._2)
+      assert(math.abs(got((vecs(i)._1, vecs(j)._1)) - expect) < 1e-12)
+    }
+  }
+
+  test("LSH buckets: high-cosine pairs collide far more often than random ones") {
+    // deterministic pseudo-random vectors + planted near-duplicates
+    val rnd = new scala.util.Random(99)
+    val base = Array.fill(200)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val nearDups = base.take(50).map { v =>
+      v.zipWithIndex.map { case (x, i) => if (i % 16 == 0) x + 0.05f else x }
+    }
+    val nearBits = base.take(50).zip(nearDups).count { case (a, b) =>
+      AnnQueries.lshBucketUdf(a) == AnnQueries.lshBucketUdf(b)
+    }
+    val randPairs = (0 until 100).count { i =>
+      AnnQueries.lshBucketUdf(base(i)) == AnnQueries.lshBucketUdf(base(199 - i))
+    }
+    assert(nearBits >= 35, s"near-dup bucket collisions: $nearBits/50")
+    assert(randPairs <= 5, s"random bucket collisions: $randPairs/100")
+  }
+
+  test("brute-force top-k on testdata matches per-query exact ranking") {
+    val got = AnnQueries.cosineTopK(spark, sf("sf0.001"))
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..10 per query, sims non-increasing within query
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("rn"))
+      assert(ordered.map(_.getAs[Int]("rn")).toSeq === (1 to ordered.length))
+      val sims = ordered.map(_.getAs[Long]("sim_micro")).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+  }
+}
