@@ -15,8 +15,10 @@ object ScalingBench {
     val spark = Bench.session(cpus.toString)
     spark.sparkContext.setLogLevel("WARN")
     // warmup (JIT + codegen) then measured run
-    Bench.sketchThroughput(spark, rows / 10, cpus * 4)
-    val stats = Bench.sketchThroughput(spark, rows, cpus * 4)
+    Bench.sketchThroughput(spark, rows / 10, cpus)
+    val stats = Bench.sketchThroughput(spark, rows, cpus)
+    System.err.println(s"[scaling] cpus=$cpus " + stats.toSeq.sortBy(_._1)
+      .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
     spark.stop()
     // SparkSession.clearActiveSession so the next master takes effect
     SparkSession.clearActiveSession()
@@ -25,9 +27,14 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "20000000").toLong
+    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "80000000").toLong
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "32").toInt
+    // burn-in session: the first SparkSession in a JVM eats classloading +
+    // C2 compilation of the whole codegen'd pipeline (measured: 2-10x noise
+    // on whichever stage runs first). Pay that cost in a throwaway session
+    // so both measured sessions see steady state.
+    runAt(hi, rows / 4)
     val tLo = runAt(lo, rows)
     val tHi = runAt(hi, rows)
     val speedup = tHi / tLo

@@ -29,7 +29,12 @@ final class TopKSketch private (
     private val heapKeys: Array[String],
     private val heapEsts: Array[Long],
     private var heapSize: Int,
-    private val index: mutable.HashMap[String, Int]
+    // candidate index keyed by the key's 64-bit h1 hash: primitive LongMap
+    // (no boxing, no per-lookup string hashing). A same-slot collision of two
+    // simultaneous heap candidates has probability ~cap^2/2^65 — negligible
+    // against the sketch's own error budget.
+    private val index: mutable.LongMap[Int],
+    private val heapHashes: Array[Long]
 ) extends Serializable {
 
   def candidateCount: Int = heapSize
@@ -45,8 +50,9 @@ final class TopKSketch private (
   @inline private def swap(i: Int, j: Int): Unit = {
     val tk = heapKeys(i); heapKeys(i) = heapKeys(j); heapKeys(j) = tk
     val te = heapEsts(i); heapEsts(i) = heapEsts(j); heapEsts(j) = te
-    index(heapKeys(i)) = i
-    index(heapKeys(j)) = j
+    val th = heapHashes(i); heapHashes(i) = heapHashes(j); heapHashes(j) = th
+    index(heapHashes(i)) = i
+    index(heapHashes(j)) = j
   }
 
   private def siftUp(i0: Int): Unit = {
@@ -67,19 +73,21 @@ final class TopKSketch private (
     }
   }
 
-  private def heapInsert(key: String, est: Long): Unit = {
+  private def heapInsert(key: String, h1: Long, est: Long): Unit = {
     heapKeys(heapSize) = key
     heapEsts(heapSize) = est
-    index(key) = heapSize
+    heapHashes(heapSize) = h1
+    index(h1) = heapSize
     heapSize += 1
     siftUp(heapSize - 1)
   }
 
-  private def heapReplaceRoot(key: String, est: Long): Unit = {
-    index.remove(heapKeys(0))
+  private def heapReplaceRoot(key: String, h1: Long, est: Long): Unit = {
+    index.remove(heapHashes(0))
     heapKeys(0) = key
     heapEsts(0) = est
-    index(key) = 0
+    heapHashes(0) = h1
+    index(h1) = 0
     siftDown(0)
   }
 
@@ -89,15 +97,14 @@ final class TopKSketch private (
     val h = Hash128.ofString(key, cm.seed)
     cm.update(h, weight)
     val est = cm.query(h)
-    index.get(key) match {
-      case Some(pos) =>
-        heapEsts(pos) = est // estimates only grow → sift down
-        siftDown(pos)
-      case None =>
-        if (heapSize < capacity) heapInsert(key, est)
-        else if (est > heapEsts(0) || (est == heapEsts(0) && key < heapKeys(0))) {
-          heapReplaceRoot(key, est)
-        }
+    val pos = index.getOrElse(h.h1, -1)
+    if (pos >= 0) {
+      heapEsts(pos) = est // estimates only grow → sift down
+      siftDown(pos)
+    } else if (heapSize < capacity) {
+      heapInsert(key, h.h1, est)
+    } else if (est > heapEsts(0) || (est == heapEsts(0) && key < heapKeys(0))) {
+      heapReplaceRoot(key, h.h1, est)
     }
   }
 
@@ -120,7 +127,9 @@ final class TopKSketch private (
       }
     heapSize = 0
     index.clear()
-    kept.foreach { case (k, e) => heapInsert(k, e) }
+    kept.foreach { case (k, e) =>
+      heapInsert(k, Hash128.ofString(k, cm.seed).h1, e)
+    }
     this
   }
 
@@ -176,7 +185,7 @@ object TopKSketch {
     require(capacity >= 1 && capacity <= (1 << 22), s"capacity out of range: $capacity")
     new TopKSketch(capacity, CountMinSketch.fromErrorBounds(eps, delta, seed),
       new Array[String](capacity), new Array[Long](capacity), 0,
-      new mutable.HashMap[String, Int])
+      new mutable.LongMap[Int](capacity * 2), new Array[Long](capacity))
   }
 
   def deserialize(bytes: Array[Byte]): TopKSketch = {
@@ -188,14 +197,16 @@ object TopKSketch {
     val cm = CountMinSketch.deserialize(cmBytes)
     val n = bb.getInt
     val sk = new TopKSketch(capacity, cm, new Array[String](capacity),
-      new Array[Long](capacity), 0, new mutable.HashMap[String, Int])
+      new Array[Long](capacity), 0, new mutable.LongMap[Int](capacity * 2),
+      new Array[Long](capacity))
     var i = 0
     while (i < n) {
       val klen = bb.getInt
       val kb = new Array[Byte](klen)
       bb.get(kb)
       val est = bb.getLong
-      sk.heapInsert(new String(kb, java.nio.charset.StandardCharsets.UTF_8), est)
+      val key = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      sk.heapInsert(key, Hash128.ofString(key, cm.seed).h1, est)
       i += 1
     }
     sk
