@@ -64,7 +64,12 @@ object SparkEntry {
     "q25_cosine_neardup" -> AnnQueries.cosineNearDup _,
     "q26_lsh_buckets" -> AnnQueries.lshBuckets _,
     "q27_multimodal" -> ((s: SparkSession, d: String) =>
-      graft.multimodal.Multimodal.featureCensus(s, d))
+      graft.multimodal.Multimodal.featureCensus(s, d)),
+    "q28_filtered_hh" -> SketchQueries.filteredHeavyHitters _,
+    "q29_cs_point" -> SketchQueries.csPointEventType _,
+    "q30_mg_topk" -> SketchQueries.mgTopKUsers _,
+    "q31_fss_topk" -> SketchQueries.fssTopKUsers _,
+    "q32_countmax_parity" -> SketchQueries.countMaxParity _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q22
@@ -261,6 +266,40 @@ object SparkEntry {
         |  (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS rn FROM pairs)
         |SELECT query_id, cast(rn AS int) AS rn, neighbor_id, sim_micro FROM ranked
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    "q28_filtered_hh" ->
+      """SELECT cast(l_partkey AS varchar) AS k, count(*) AS exact_count
+        |FROM lineitem GROUP BY 1 HAVING count(*) > 45 ORDER BY k""".stripMargin,
+
+    "q29_cs_point" ->
+      """SELECT event_type, count(*) AS est_count
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q30_mg_topk" ->
+      """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count
+        |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin,
+
+    "q31_fss_topk" ->
+      """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count,
+        | cast(0 AS bigint) AS err_bound
+        |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin,
+
+    "q28_filtered_hh" ->
+      """SELECT cast(l_partkey AS varchar) AS k, count(*) AS exact_count
+        |FROM lineitem GROUP BY 1 HAVING count(*) > 45 ORDER BY k""".stripMargin,
+
+    "q29_cs_point" ->
+      """SELECT event_type, count(*) AS est_count
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q30_mg_topk" ->
+      """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count
+        |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin,
+
+    "q31_fss_topk" ->
+      """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count,
+        | cast(0 AS bigint) AS err_bound
+        |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin,
 
     "q25_cosine_neardup" ->
       """WITH pairs AS (

@@ -105,6 +105,53 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  // ---- Count-Sketch over (key, weight)
+
+  final class CsAggregator(depth: Int, width: Int, seed: Long)
+      extends Aggregator[(String, Long), CountSketch, Array[Byte]] {
+    override def zero: CountSketch = CountSketch(depth, width, seed)
+    override def reduce(b: CountSketch, a: (String, Long)): CountSketch = {
+      if (a._1 != null) b.update(a._1, a._2)
+      b
+    }
+    override def merge(x: CountSketch, y: CountSketch): CountSketch = x.merge(y)
+    override def finish(b: CountSketch): Array[Byte] = b.serialize()
+    override def bufferEncoder: Encoder[CountSketch] = Encoders.kryo[CountSketch]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  // ---- Misra-Gries frequent items
+
+  final class MgAggregator(capacity: Int)
+      extends Aggregator[(String, Long), MisraGries, Array[Byte]] {
+    override def zero: MisraGries = MisraGries(capacity)
+    override def reduce(b: MisraGries, a: (String, Long)): MisraGries = {
+      if (a._1 != null) b.update(a._1, a._2)
+      b
+    }
+    override def merge(x: MisraGries, y: MisraGries): MisraGries = x.merge(y)
+    override def finish(b: MisraGries): Array[Byte] = b.serialize()
+    override def bufferEncoder: Encoder[MisraGries] = Encoders.kryo[MisraGries]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  // ---- Filtered Space-Saving
+
+  final class FssAggregator(numEntries: Int, numBuckets: Int, seed: Long)
+      extends Aggregator[(String, Long), FilteredSpaceSaving, Array[Byte]] {
+    override def zero: FilteredSpaceSaving =
+      FilteredSpaceSaving(numEntries, numBuckets, seed)
+    override def reduce(b: FilteredSpaceSaving, a: (String, Long)): FilteredSpaceSaving = {
+      if (a._1 != null) b.update(a._1, a._2)
+      b
+    }
+    override def merge(x: FilteredSpaceSaving, y: FilteredSpaceSaving) = x.merge(y)
+    override def finish(b: FilteredSpaceSaving): Array[Byte] = b.serialize()
+    override def bufferEncoder: Encoder[FilteredSpaceSaving] =
+      Encoders.kryo[FilteredSpaceSaving]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   // ---- KLL quantiles over doubles
 
   final class KllAggregator(k: Int, seed: Long)

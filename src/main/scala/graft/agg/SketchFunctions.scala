@@ -16,6 +16,9 @@ import graft.sketch._
 /** Decoded heavy-hitter entry: sketch-estimated count per key. */
 final case class TopKEntry(key: String, est: Long)
 
+/** Decoded FSS entry: monitored count f and its error bound e. */
+final case class FssEntry(key: String, f: Long, e: Long)
+
 object SketchFunctions {
 
   import SketchAggregators._
@@ -38,6 +41,22 @@ object SketchFunctions {
   def cm_topk(key: Column, weight: Column, capacity: Int, eps: Double = 1e-4,
       delta: Double = 0.01, seed: Long = CountMinSketch.DefaultSeed): Column =
     functions.udaf(new TopKAggregator(capacity, eps, delta, seed), tupleStrLong)
+      .apply(key, weight)
+
+  /** Count-Sketch build (signed rows, unbiased median query). */
+  def cs_sketch(key: Column, weight: Column, depth: Int = 5, width: Int = 4096,
+      seed: Long = CountSketch.DefaultSeed): Column =
+    functions.udaf(new CsAggregator(depth, width, seed), tupleStrLong)
+      .apply(key, weight)
+
+  /** Misra-Gries frequent-items summary (SketchVisor's role, provable). */
+  def mg_sketch(key: Column, weight: Column, capacity: Int): Column =
+    functions.udaf(new MgAggregator(capacity), tupleStrLong).apply(key, weight)
+
+  /** Filtered Space-Saving summary. */
+  def fss_sketch(key: Column, weight: Column, numEntries: Int,
+      numBuckets: Int = 4096, seed: Long = FilteredSpaceSaving.DefaultSeed): Column =
+    functions.udaf(new FssAggregator(numEntries, numBuckets, seed), tupleStrLong)
       .apply(key, weight)
 
   def hll_sketch(key: Column, p: Int = 14,
@@ -81,6 +100,41 @@ object SketchFunctions {
     functions.udf((bytes: Array[Byte]) =>
       if (bytes == null) Array.empty[TopKEntry]
       else TopKSketch.deserialize(bytes).topK(k).map(e => TopKEntry(e._1, e._2))
+    ).apply(sketch)
+
+  def cs_query(sketch: Column, key: Column): Column =
+    functions.udf((bytes: Array[Byte], key: String) =>
+      if (bytes == null || key == null) -1L
+      else CountSketch.deserialize(bytes).query(key)
+    ).apply(sketch, key)
+
+  def mg_query(sketch: Column, key: Column): Column =
+    functions.udf((bytes: Array[Byte], key: String) =>
+      if (bytes == null || key == null) -1L
+      else MisraGries.deserialize(bytes).query(key)
+    ).apply(sketch, key)
+
+  /** All (key, est) entries of a Misra-Gries summary. */
+  def mg_entries(sketch: Column): Column =
+    functions.udf((bytes: Array[Byte]) =>
+      if (bytes == null) Array.empty[TopKEntry]
+      else MisraGries.deserialize(bytes).entries.toArray
+        .sortBy { case (k, v) => (-v, k) }.map(e => TopKEntry(e._1, e._2))
+    ).apply(sketch)
+
+  def fss_query(sketch: Column, key: Column): Column =
+    functions.udf((bytes: Array[Byte], key: String) =>
+      if (bytes == null || key == null) -1L
+      else FilteredSpaceSaving.deserialize(bytes).query(key)
+    ).apply(sketch, key)
+
+  /** All (key, f, e) entries of an FSS summary, f desc. */
+  def fss_entries(sketch: Column): Column =
+    functions.udf((bytes: Array[Byte]) =>
+      if (bytes == null) Array.empty[FssEntry]
+      else FilteredSpaceSaving.deserialize(bytes).entries.toArray
+        .sortBy { case (k, f, _) => (-f, k) }
+        .map { case (k, f, e) => FssEntry(k, f, e) }
     ).apply(sketch)
 
   def hll_count(sketch: Column): Column =
@@ -139,6 +193,17 @@ object SketchFunctions {
     r.register("tdigest_sketch",
       functions.udaf(new TDigestAggregator(100.0),
         Encoders.DOUBLE))
+    r.register("cs_sketch",
+      functions.udaf(new CsAggregator(5, 4096, CountSketch.DefaultSeed), tupleStrLong))
+    r.register("mg_sketch", functions.udaf(new MgAggregator(1024), tupleStrLong))
+    r.register("fss_sketch",
+      functions.udaf(new FssAggregator(1024, 4096, FilteredSpaceSaving.DefaultSeed), tupleStrLong))
+    r.register("cs_query", (b: Array[Byte], k: String) =>
+      if (b == null || k == null) -1L else CountSketch.deserialize(b).query(k))
+    r.register("mg_query", (b: Array[Byte], k: String) =>
+      if (b == null || k == null) -1L else MisraGries.deserialize(b).query(k))
+    r.register("fss_query", (b: Array[Byte], k: String) =>
+      if (b == null || k == null) -1L else FilteredSpaceSaving.deserialize(b).query(k))
     r.register("cm_query", cmQueryUdf)
     r.register("cm_total", (b: Array[Byte]) =>
       if (b == null) -1L else CountMinSketch.deserialize(b).totalWeight)

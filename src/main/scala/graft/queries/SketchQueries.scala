@@ -139,6 +139,80 @@ object SketchQueries {
       .select(col("probes"), col("bloom_positives"), col("true_positives"))
   }
 
+  /** q28: the reference's FilteredSketch composition (C4,
+    * /root/reference/Simulation/FilteredSketch.cs:55-100): a cheap CM first
+    * pass gates the expensive exact second pass — only keys whose CM
+    * estimate clears the threshold are recounted exactly. CM never
+    * underestimates, so the filter never drops a qualifying key; at this
+    * width it admits no extras either (collision-free regime). */
+  def filteredHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val keyed = li.select(col("l_partkey").cast("string").as("k"))
+    val sk = keyed.agg(cm_sketch(col("k"), lit(1L), eps = 1e-4).as("sk"))
+    val candidates = keyed.distinct()
+      .crossJoin(broadcast(sk))
+      .filter(cm_query(col("sk"), col("k")) > 45L)
+      .select(col("k"))
+    // phase 2: exact counts for the surviving candidate set only
+    keyed.join(broadcast(candidates), Seq("k"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("k"))
+  }
+
+  /** q29: Count-Sketch point estimates per event_type (signed-median
+    * estimator; exact in the collision-free regime). */
+  def csPointEventType(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.agg(cs_sketch(col("event_type"), lit(1L), depth = 5, width = 4096).as("sk"))
+    ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("event_type"), cs_query(col("sk"), col("event_type")).as("est_count"))
+      .orderBy("event_type")
+  }
+
+  /** q30: Misra-Gries top-20 users (SketchVisor's role with a provable
+    * bound; exact when capacity ≥ distinct keys). */
+  def mgTopKUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.select(col("user_id").cast("string").as("k"))
+      .agg(mg_sketch(col("k"), lit(1L), capacity = 1024).as("sk"))
+    sk.select(explode(mg_entries(col("sk"))).as("e"))
+      .select(col("e.key").as("user_id"), col("e.est").as("est_count"))
+      .orderBy(desc("est_count"), asc("user_id"))
+      .limit(20)
+  }
+
+  /** q31: Filtered Space-Saving top-20 users with per-key error bounds
+    * (f ≥ true ≥ f−e; e = 0 in the all-monitored regime). */
+  def fssTopKUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.select(col("user_id").cast("string").as("k"))
+      .agg(fss_sketch(col("k"), lit(1L), numEntries = 1024).as("sk"))
+    sk.select(explode(fss_entries(col("sk"))).as("e"))
+      .select(col("e.key").as("user_id"), col("e.f").as("est_count"),
+        col("e.e").as("err_bound"))
+      .orderBy(desc("est_count"), asc("user_id"))
+      .limit(20)
+  }
+
+  /** q32: CountMax parity fixture — the reference's order-sensitive flagship
+    * runs single-partition only (SURVEY.md §7.5: not mergeable, not the
+    * production HH path). Oracle-less; kernel parity is hand-traced in
+    * FrequentItemsSpec. */
+  def countMaxParity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("k"))
+      .as[String]
+    val topDf = ev.repartition(1).mapPartitions { it =>
+      val cmx = graft.sketch.CountMax(2, 1024)
+      it.foreach(k => cmx.update(k, 1L))
+      cmx.getAllKeys.toSeq.sortBy(k => (-cmx.query(k), k)).take(20)
+        .map(k => (k, cmx.query(k))).iterator
+    }.toDF("user_id", "est_count")
+    topDf.orderBy(desc("est_count"), asc("user_id"))
+  }
+
   private val Probs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
 
   /** q08: KLL quantiles of l_extendedprice — k chosen above row count at the
