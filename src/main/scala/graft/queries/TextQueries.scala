@@ -56,16 +56,21 @@ object TextQueries {
     * near-dups all sit at J ≥ 0.9 with the next pair below 0.07. */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = minhashDocs(spark, sfDir)
-    val buckets = docs.select(col("doc_id"), col("text"),
+    val buckets = docs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bh")))
-    val a = buckets.select(col("band"), col("bh"),
-      col("doc_id").as("id_a"), col("text").as("text_a"))
-    val b = buckets.select(col("band"), col("bh"),
-      col("doc_id").as("id_b"), col("text").as("text_b"))
-    val candidates = a.join(b, Seq("band", "bh"))
+    val a = buckets.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val b = buckets.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    // dedup candidate pairs on narrow ids BEFORE rejoining texts: the
+    // distinct shuffle moves 16 bytes/pair, not two documents/pair
+    val candidateIds = a.select(col("band"), col("bh"), col("id_a"))
+      .join(b.select(col("band"), col("bh"), col("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
+    val candidates = candidateIds
+      .join(texts.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(texts.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
     val jaccardUdf = udf((ta: String, tb: String) =>
       MinHash.exactJaccard(
         TextAnalysis.shingles(ta, ShingleN), TextAnalysis.shingles(tb, ShingleN)))
@@ -103,15 +108,20 @@ object TextQueries {
 
   /** q18: exact word-bigram Jaccard similarity, blocked by `source` (the
     * corpus's natural bucketing column) — pairs only form inside a block,
-    * expressible 1:1 in the DuckDB oracle. Emits pairs with J ≥ 0.05. */
+    * expressible 1:1 in the DuckDB oracle. Emits pairs with J ≥ 0.05.
+    * Bigram sets are compared as xxhash64 values: long-array intersection is
+    * ~5x cheaper than string intersection per pair, and a hash collision
+    * perturbing a set size has probability ~|set|²/2⁶⁴ per pair (verified
+    * value-equal with the string-based oracle). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        array_distinct(
+        array_distinct(transform(
           zip_with(
             slice(split(col("text"), " "), lit(1), size(split(col("text"), " ")) - 1),
             slice(split(col("text"), " "), lit(2), size(split(col("text"), " ")) - 1),
-            (x, y) => concat_ws(" ", x, y))).as("bigrams"))
+            (x, y) => concat_ws(" ", x, y)),
+          b => xxhash64(b))).as("bigrams"))
     val a = docs.select(col("source"), col("doc_id").as("id_a"), col("bigrams").as("bg_a"))
     val b = docs.select(col("source"), col("doc_id").as("id_b"), col("bigrams").as("bg_b"))
     a.join(b, Seq("source"))

