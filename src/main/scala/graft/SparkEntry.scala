@@ -69,7 +69,10 @@ object SparkEntry {
     "q29_cs_point" -> SketchQueries.csPointEventType _,
     "q30_mg_topk" -> SketchQueries.mgTopKUsers _,
     "q31_fss_topk" -> SketchQueries.fssTopKUsers _,
-    "q32_countmax_parity" -> SketchQueries.countMaxParity _
+    "q32_countmax_parity" -> SketchQueries.countMaxParity _,
+    "q33_kll_by_lang" -> SketchQueries.kllByLang _,
+    "q34_cm_weighted" -> SketchQueries.cmWeightedFlag _,
+    "q35_hll_by_lang" -> SketchQueries.hllByLang _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q22
@@ -267,6 +270,20 @@ object SparkEntry {
         |SELECT query_id, cast(rn AS int) AS rn, neighbor_id, sim_micro FROM ranked
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
 
+    "q33_kll_by_lang" ->
+      """SELECT lang, cast(quantile_disc(n_chars, 0.5) AS bigint) AS p50,
+        | cast(quantile_disc(n_chars, 0.9) AS bigint) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q34_cm_weighted" ->
+      """SELECT l_returnflag, cast(sum(cast(l_quantity AS bigint)) AS bigint)
+        | AS est_quantity
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q35_hll_by_lang" ->
+      """SELECT lang, count(DISTINCT source) AS exact_sources, true AS within_bound
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q28_filtered_hh" ->
       """SELECT cast(l_partkey AS varchar) AS k, count(*) AS exact_count
         |FROM lineitem GROUP BY 1 HAVING count(*) > 45 ORDER BY k""".stripMargin,
@@ -283,6 +300,20 @@ object SparkEntry {
       """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count,
         | cast(0 AS bigint) AS err_bound
         |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin,
+
+    "q33_kll_by_lang" ->
+      """SELECT lang, cast(quantile_disc(n_chars, 0.5) AS bigint) AS p50,
+        | cast(quantile_disc(n_chars, 0.9) AS bigint) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q34_cm_weighted" ->
+      """SELECT l_returnflag, cast(sum(cast(l_quantity AS bigint)) AS bigint)
+        | AS est_quantity
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q35_hll_by_lang" ->
+      """SELECT lang, count(DISTINCT source) AS exact_sources, true AS within_bound
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q28_filtered_hh" ->
       """SELECT cast(l_partkey AS varchar) AS k, count(*) AS exact_count

@@ -213,6 +213,46 @@ object SketchQueries {
     topDf.orderBy(desc("est_count"), asc("user_id"))
   }
 
+  /** q33: one KLL sketch per group — per-language n_chars quantiles
+    * (groupBy().agg(sketch) shape; exact regime at verify scale). */
+  def kllByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.groupBy(col("lang"))
+      .agg(kll_sketch(col("n_chars").cast("double"), k = 65536).as("sk"))
+      .select(col("lang"),
+        kll_quantile(col("sk"), lit(0.5)).cast("long").as("p50"),
+        kll_quantile(col("sk"), lit(0.9)).cast("long").as("p90"))
+      .orderBy(col("lang"))
+  }
+
+  /** q34: weighted Count-Min — per-returnflag total quantity (weights are
+    * the reference's packet-size semantics, exact in the collision-free
+    * regime; update linearity tested in CountMinSpec). */
+  def cmWeightedFlag(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val keyed = li.select(col("l_returnflag").as("k"),
+      col("l_quantity").cast("long").as("w"))
+    val sk = keyed.agg(cm_sketch(col("k"), col("w"), eps = 1e-4).as("sk"))
+    keyed.select(col("k")).distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("k").as("l_returnflag"),
+        cm_query(col("sk"), col("k")).as("est_quantity"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q35: one HLL per group — per-language distinct sources + bound flag. */
+  def hllByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.groupBy(col("lang"))
+      .agg(hll_sketch(col("source"), p = 14).as("sk"),
+        countDistinct(col("source")).as("exact_sources"))
+      .select(col("lang"), col("exact_sources"),
+        (abs(hll_count(col("sk")).cast("double") - col("exact_sources").cast("double")) <=
+          greatest(lit(2.0), lit(3.0) * hll_stderr(col("sk")) * col("exact_sources")))
+          .as("within_bound"))
+      .orderBy(col("lang"))
+  }
+
   private val Probs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
 
   /** q08: KLL quantiles of l_extendedprice — k chosen above row count at the
