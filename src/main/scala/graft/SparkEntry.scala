@@ -72,7 +72,9 @@ object SparkEntry {
     "q32_countmax_parity" -> SketchQueries.countMaxParity _,
     "q33_kll_by_lang" -> SketchQueries.kllByLang _,
     "q34_cm_weighted" -> SketchQueries.cmWeightedFlag _,
-    "q35_hll_by_lang" -> SketchQueries.hllByLang _
+    "q35_hll_by_lang" -> SketchQueries.hllByLang _,
+    "q36_link_load_stats" -> MetricQueries.linkLoadStats _,
+    "q37_dedup_clusters" -> DedupClusterQuery.dedupClusters _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q22
@@ -269,6 +271,47 @@ object SparkEntry {
         |  (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS rn FROM pairs)
         |SELECT query_id, cast(rn AS int) AS rn, neighbor_id, sim_micro FROM ranked
         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    "q36_link_load_stats" ->
+      """WITH topo AS (
+        |  SELECT o_orderkey FROM orders
+        |  QUALIFY row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+        |    <= ceil(0.01 * count(*) OVER ())),
+        |loads AS (
+        |  SELECT l_suppkey, cast(sum(l_quantity) AS bigint) AS load
+        |  FROM lineitem JOIN topo ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT count(*) AS n_links, max(load) AS max_load,
+        |  cast(floor(cast(sum(load) AS double) / cast(count(*) AS double)
+        |    * 1000000.0) AS bigint) AS avg_load_micro,
+        |  cast(floor(sqrt((cast(sum(load * load) AS double)
+        |      - cast(sum(load) AS double) * cast(sum(load) AS double)
+        |        / cast(count(*) AS double))
+        |      / (cast(count(*) AS double) - 1.0))
+        |    * 1000000.0) AS bigint) AS stddev_load_micro
+        |FROM loads""".stripMargin,
+
+    "q37_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      cast(floor(cast(len(list_intersect(a.s, b.s)) AS double) /
+        |        cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS double)
+        |        * 1000000.0) AS bigint) AS jaccard_micro
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard_micro >= 500000),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+        |  UNION
+        |  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node)
+        |SELECT node AS doc_id, min(label) AS cluster_id,
+        |  (node = min(label)) AS is_keeper
+        |FROM reach GROUP BY node ORDER BY cluster_id, doc_id""".stripMargin,
 
     "q33_kll_by_lang" ->
       """SELECT lang, cast(quantile_disc(n_chars, 0.5) AS bigint) AS p50,

@@ -93,12 +93,30 @@ object MetricQueries {
   def hhFilterGate(spark: SparkSession, sfDir: String): DataFrame =
     hhFilter(eventsPerUser(spark, sfDir), 200.0)
 
-  /** q14: the reference's heavy-hitter → downstream-action pipeline shape
-    * (/root/reference/Simulator/Program.cs:769-785 → link-load aggregation
-    * /root/reference/Simulation/Topology.cs:52-59): take the top-1% orders
-    * by value, explode their lineitems, aggregate per-supplier load, report
-    * the 10 most loaded suppliers. Top-order set is tiny → broadcast join. */
-  def rerouteTopGate(spark: SparkSession, sfDir: String): DataFrame = {
+  /** q36: the reference's link-load aggregation statistics (Q6,
+    * /root/reference/Simulation/Topology.cs:52-59 + max/avg/stddev folds at
+    * /root/reference/Simulator/Program.cs:428-431): per-supplier load from
+    * the top-order flows, then max / avg / stddev over loads. Stddev uses
+    * the explicit two-pass formula over exact integral sums so both engines
+    * compute bit-identical doubles (built-in stddev implementations differ
+    * in accumulation order). */
+  def linkLoadStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val loads = rerouteTopGateAll(spark, sfDir)
+    loads.agg(
+      count(lit(1)).as("n_links"),
+      max(col("load")).as("max_load"),
+      floor(sum(col("load")).cast("double") / count(lit(1)).cast("double")
+        * lit(1000000.0)).cast("long").as("avg_load_micro"),
+      floor(
+        sqrt((sum(col("load") * col("load")).cast("double")
+          - sum(col("load")).cast("double") * sum(col("load")).cast("double")
+            / count(lit(1)).cast("double"))
+          / (count(lit(1)).cast("double") - lit(1.0)))
+        * lit(1000000.0)).cast("long").as("stddev_load_micro"))
+  }
+
+  /** Per-supplier loads from the top-1% orders (shared by q14/q36). */
+  private def rerouteTopGateAll(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
     val nOrders = ord.count()
@@ -108,7 +126,15 @@ object MetricQueries {
     li.join(broadcast(top), li("l_orderkey") === top("o_orderkey"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_quantity")).cast("long").as("load"))
+  }
+
+  /** q14: the reference's heavy-hitter → downstream-action pipeline shape
+    * (/root/reference/Simulator/Program.cs:769-785 → link-load aggregation
+    * /root/reference/Simulation/Topology.cs:52-59): take the top-1% orders
+    * by value, explode their lineitems, aggregate per-supplier load, report
+    * the 10 most loaded suppliers. Top-order set is tiny → broadcast join. */
+  def rerouteTopGate(spark: SparkSession, sfDir: String): DataFrame =
+    rerouteTopGateAll(spark, sfDir)
       .orderBy(desc("load"), asc("l_suppkey"))
       .limit(10)
-  }
 }

@@ -66,6 +66,17 @@ final class CountMinSketch private (
   def query(key: String): Long = query(Hash128.ofString(key, seed))
   def query(key: Long): Long = query(Hash128.ofLong(key, seed))
 
+  /** Query-then-update in one pass: returns the PRE-update estimate, then
+    * applies the update — the reference's threshold-gate primitive
+    * (`SwitchSketch.PeekUpdate`, /root/reference/Simulation/CountMin.cs:45-50,81-89,
+    * used by the FilteredSketch composition). */
+  def peekUpdate(key: String, weight: Long): Long = {
+    val h = Hash128.ofString(key, seed)
+    val pre = query(h)
+    update(h, weight)
+    pre
+  }
+
   /** Elementwise sum; associative and commutative, so merge order across
     * partitions provably cannot change the result (property-tested). */
   def merge(other: CountMinSketch): CountMinSketch = {
