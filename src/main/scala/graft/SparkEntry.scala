@@ -74,7 +74,9 @@ object SparkEntry {
     "q34_cm_weighted" -> SketchQueries.cmWeightedFlag _,
     "q35_hll_by_lang" -> SketchQueries.hllByLang _,
     "q36_link_load_stats" -> MetricQueries.linkLoadStats _,
-    "q37_dedup_clusters" -> DedupClusterQuery.dedupClusters _
+    "q37_dedup_clusters" -> DedupClusterQuery.dedupClusters _,
+    "q38_curation_pipeline" -> CurationPipeline.curation _,
+    "q39_ann_ivf" -> AnnQueries.ivfTopK _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q22
@@ -82,6 +84,43 @@ object SparkEntry {
     * driver records rows-only checks; those operators are asserted in
     * ScalaTest instead. */
   def oracleSql: Map[String, String] = Map(
+    "q38_curation_pipeline" ->
+      """WITH RECURSIVE toks0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks0),
+        |prs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      cast(floor(cast(len(list_intersect(a.s, b.s)) AS double) /
+        |        cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS double)
+        |        * 1000000.0) AS bigint) AS jm
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jm >= 500000),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM prs
+        |  UNION SELECT id_b, id_a FROM prs),
+        |reach(node, label) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+        |  UNION
+        |  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node),
+        |drops AS (SELECT node AS doc_id FROM reach GROUP BY node
+        |  HAVING node <> min(label)),
+        |scored AS (
+        |  SELECT d.lang, len(string_split(d.text, ' ')) AS ntok,
+        |    floor((least(1.0, len(string_split(d.text, ' ')) / 100.0)
+        |      + cast(len(list_distinct(string_split(d.text, ' '))) AS double)
+        |        / len(string_split(d.text, ' '))
+        |      + cast(len(list_filter(string_split(d.text, ' '),
+        |          x -> regexp_full_match(x, '[A-Za-z]+'))) AS double)
+        |        / len(string_split(d.text, ' '))
+        |      ) / 3.0 * 10.0) AS score_decile
+        |  FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops))
+        |SELECT lang, count(*) AS docs_kept,
+        |  cast(sum(ntok) AS bigint) AS tokens_kept
+        |FROM scored WHERE score_decile >= 5
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q01_cm_point_event_type" ->
       """SELECT event_type, count(*) AS est_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -90,6 +90,47 @@ object AnnQueries {
     sig
   }
 
+  /** q39: IVF (inverted-file) ANN — the second scale path beside LSH:
+    * deterministic coarse centroids (every 50th vector), one assignment pass
+    * (argmin cosine over the broadcast centroid set), then queries probe only
+    * their 2 nearest centroids' inverted lists. Output: per-query top-5 from
+    * the probed lists. Oracle-less (argmin-assignment is not reasonably
+    * SQL-expressible); recall vs brute force asserted in AnnSpec. */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // assignment pass: nearest centroid per vector (broadcast centroids)
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(desc("csim"), asc("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    // queries probe their 2 nearest centroids
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(cosine(col("qvec"), col("cvec")).desc, asc("cid"))))
+      .filter(col("rn") <= 2)
+      .select(col("query_id"), col("qvec"), col("cid"))
+    val candidates = probes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floor(cosine(col("qvec"), col("embedding")) * 1000000.0).cast("long")
+          .as("sim_micro"))
+    candidates.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(desc("sim_micro"), asc("neighbor_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("sim_micro"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** q26: LSH-bucketed approximate neighbor candidates: bucket census —
     * shows the bucketing plan (shuffle on signature, pairs within bucket).
     * Recall vs brute force asserted in AnnSpec. */

