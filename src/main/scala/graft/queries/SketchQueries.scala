@@ -37,7 +37,7 @@ object SketchQueries {
   def cmTopKUsers(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val sk = ev.select(col("user_id").cast("string").as("k"))
-      .agg(cm_topk(col("k"), lit(1L), capacity = 1024, eps = 1e-4).as("sk"))
+      .agg(cm_topk(col("k"), lit(1L), capacity = 4096, eps = 1e-4).as("sk"))
     sk.select(explode(topk_entries(col("sk"), 20)).as("e"))
       .select(col("e.key").as("user_id"), col("e.est").as("est_count"))
       .orderBy(desc("est_count"), asc("user_id"))
@@ -175,7 +175,7 @@ object SketchQueries {
   def mgTopKUsers(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val sk = ev.select(col("user_id").cast("string").as("k"))
-      .agg(mg_sketch(col("k"), lit(1L), capacity = 1024).as("sk"))
+      .agg(mg_sketch(col("k"), lit(1L), capacity = 4096).as("sk"))
     sk.select(explode(mg_entries(col("sk"))).as("e"))
       .select(col("e.key").as("user_id"), col("e.est").as("est_count"))
       .orderBy(desc("est_count"), asc("user_id"))
@@ -187,7 +187,7 @@ object SketchQueries {
   def fssTopKUsers(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val sk = ev.select(col("user_id").cast("string").as("k"))
-      .agg(fss_sketch(col("k"), lit(1L), numEntries = 1024).as("sk"))
+      .agg(fss_sketch(col("k"), lit(1L), numEntries = 4096).as("sk"))
     sk.select(explode(fss_entries(col("sk"))).as("e"))
       .select(col("e.key").as("user_id"), col("e.f").as("est_count"),
         col("e.e").as("err_bound"))
