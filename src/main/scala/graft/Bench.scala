@@ -41,6 +41,11 @@ object Bench {
     val cmSec = timeBest {
       corpus.agg(cm_sketch(col("token"), col("weight"), eps = 1e-4)).head()
     }
+    graft.agg.NativeCountMinAgg.register(spark, eps = 1e-4)
+    corpus.createOrReplaceTempView("bench_corpus_v")
+    val cmNativeSec = timeBest {
+      spark.sql("SELECT cm_sketch_fast(token, weight) FROM bench_corpus_v").head()
+    }
     val topkSec = timeBest {
       corpus.agg(cm_topk(col("token"), lit(1L), capacity = 4096, eps = 1e-4)).head()
     }
@@ -54,6 +59,8 @@ object Bench {
     Map(
       "cm_build_sec" -> cmSec,
       "cm_build_mrows_per_sec" -> rows / cmSec / 1e6,
+      "cm_native_build_sec" -> cmNativeSec,
+      "cm_native_build_mrows_per_sec" -> rows / cmNativeSec / 1e6,
       "topk_build_sec" -> topkSec,
       "topk_build_mrows_per_sec" -> rows / topkSec / 1e6,
       "hll_build_sec" -> hllSec,

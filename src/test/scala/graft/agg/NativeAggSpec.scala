@@ -1,0 +1,37 @@
+package graft.agg
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.agg.SketchFunctions._
+import graft.sketch.StreamFixtures
+
+class NativeAggSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("native cm_sketch_fast == udaf cm_sketch, bit-exact, across partitionings") {
+    NativeCountMinAgg.register(spark, eps = 1e-3, delta = 0.01)
+    val stream = StreamFixtures.weightedZipfStream(40000, 2000)
+    for (parts <- Seq(1, 8, 32)) {
+      val df = stream.toDF("k", "w").repartition(parts)
+      df.createOrReplaceTempView("native_stream_v")
+      val native = spark.sql("SELECT cm_sketch_fast(k, w) AS sk FROM native_stream_v")
+        .head().getAs[Array[Byte]]("sk")
+      val viaUdaf = df.agg(cm_sketch(col("k"), col("w"), eps = 1e-3).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      assert(java.util.Arrays.equals(native, viaUdaf), s"parts=$parts")
+    }
+  }
+
+  test("native aggregate works in groupBy and skips nulls") {
+    NativeCountMinAgg.register(spark, eps = 1e-3, delta = 0.01)
+    SketchFunctions.register(spark)
+    val df = Seq(("g1", "a", 1L), ("g1", null, 5L), ("g2", "b", 2L), ("g1", "a", 3L))
+      .toDF("g", "k", "w")
+    df.createOrReplaceTempView("native_groups_v")
+    val rows = spark.sql(
+      "SELECT g, cm_query(cm_sketch_fast(k, w), 'a') AS est FROM native_groups_v GROUP BY g ORDER BY g")
+      .as[(String, Long)].collect()
+    assert(rows.toSeq === Seq(("g1", 4L), ("g2", 0L)))
+  }
+}
