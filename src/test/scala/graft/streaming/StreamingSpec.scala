@@ -1,7 +1,9 @@
 package graft.streaming
 
+import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.SparkTestBase
 import graft.agg.SketchFunctions._
 import graft.sketch.{CountMinSketch, HyperLogLog}
@@ -59,5 +61,65 @@ class StreamingSpec extends SparkTestBase {
       val exact = data.filter(_._1 == r.getString(0)).map(_._2).distinct.size
       assert(math.abs(est - exact) <= 0.05 * exact + 2, s"grp=${r.getString(0)}")
     }
+  }
+
+  test("event-time windowed sketch aggregation with watermark (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(cm_sketch(col("k"), lit(1L), eps = 1e-3).as("sk"))
+      .select(col("window.start").as("ws"), col("k"),
+        cm_query(col("sk"), col("k")).as("est"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("windowed_cm")
+      .start()
+    def t(hhmm: String) = Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    // hour 10: 3x a, 1x b; hour 11: 2x a — then advance watermark past both
+    mem.addData(Seq((t("10:05"), "a"), (t("10:20"), "a"), (t("10:40"), "a"), (t("10:50"), "b")))
+    q.processAllAvailable()
+    mem.addData(Seq((t("11:10"), "a"), (t("11:30"), "a")))
+    q.processAllAvailable()
+    mem.addData(Seq((t("13:00"), "z"))) // advances watermark, closes windows
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT ws, k, est FROM windowed_cm").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows.contains(("2026-01-01 10:00:00.0", "a", 3L)))
+    assert(rows.contains(("2026-01-01 10:00:00.0", "b", 1L)))
+    assert(rows.contains(("2026-01-01 11:00:00.0", "a", 2L)))
+  }
+
+  test("flatMapGroupsWithState: per-group HLL sketch carried as explicit state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    // state = serialized HLL per group; emit running distinct estimate
+    def fn(key: String, rows: Iterator[(String, String)],
+        state: GroupState[Array[Byte]]): Iterator[(String, Long)] = {
+      val hll = state.getOption.map(HyperLogLog.deserialize)
+        .getOrElse(HyperLogLog(12))
+      rows.foreach { case (_, v) => hll.add(v) }
+      state.update(hll.serialize())
+      Iterator((key, hll.estimateLong()))
+    }
+    val q = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF("grp", "running_distinct")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stateful_hll")
+      .start()
+    mem.addData((0 until 300).map(i => ("g1", s"u${i % 100}")))
+    q.processAllAvailable()
+    mem.addData((0 until 300).map(i => ("g1", s"u${100 + (i % 50)}")))
+    q.processAllAvailable()
+    val last = spark.sql(
+      "SELECT running_distinct FROM stateful_hll").collect().map(_.getLong(0)).max
+    q.stop()
+    // 150 true distinct across both batches; HLL p=12 well within 5%
+    assert(math.abs(last - 150L) <= 10, s"est=$last")
   }
 }
