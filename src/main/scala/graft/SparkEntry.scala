@@ -76,7 +76,11 @@ object SparkEntry {
     "q36_link_load_stats" -> MetricQueries.linkLoadStats _,
     "q37_dedup_clusters" -> DedupClusterQuery.dedupClusters _,
     "q38_curation_pipeline" -> CurationPipeline.curation _,
-    "q39_ann_ivf" -> AnnQueries.ivfTopK _
+    "q39_ann_ivf" -> AnnQueries.ivfTopK _,
+    "q40_bound_audit" -> ((s: SparkSession, d: String) =>
+      BoundAudit.sampledSliceAudit(
+        Tables.events(s, d).withColumn("one", lit(1L)), "user_id", "one",
+        sampleOneIn = 3, eps = 1e-4, delta = 0.01))
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q22

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.agg.SketchFunctions._
+
+/**
+ * The north star's acceptance check as a reusable operator: CM estimates
+ * versus exact `groupBy().count()` on a *sampled key slice* — at corpus
+ * scale the exact side is computed only for a deterministic hash-sample of
+ * keys (the full exact aggregate is exactly what sketches exist to avoid),
+ * while the sketch side is the full-stream build.
+ *
+ * Returns one row: (n_sampled_keys, under_violations, over_violations,
+ * eps_n_bound) — under_violations must be 0 always (CM never
+ * underestimates); over_violations/n must stay ≤ δ.
+ */
+object BoundAudit {
+
+  def sampledSliceAudit(df: DataFrame, keyCol: String, weightCol: String,
+      sampleOneIn: Int, eps: Double, delta: Double): DataFrame = {
+    val keyed = df.select(col(keyCol).cast("string").as("k"),
+      col(weightCol).cast("long").as("w"))
+    val sk = keyed.agg(cm_sketch(col("k"), col("w"), eps, delta).as("sk"))
+    // deterministic hash-sample of KEYS (not rows — a key's count must be
+    // exact, so every row of a sampled key is included)
+    val sampledExact = keyed
+      .filter(pmod(xxhash64(col("k"), lit(0x5a11ed)), lit(sampleOneIn)) === 0)
+      .groupBy(col("k")).agg(sum(col("w")).as("true_w"))
+    val width = graft.sketch.SketchIO.nextPow2(math.ceil(math.E / eps).toInt)
+    val epsEff = math.E / width
+    sampledExact.crossJoin(broadcast(sk))
+      .select(col("k"), col("true_w"),
+        cm_query(col("sk"), col("k")).as("est"),
+        (lit(epsEff) * cm_total(col("sk")).cast("double")).as("eps_n"))
+      .agg(
+        count(lit(1)).as("n_sampled_keys"),
+        sum(when(col("est") < col("true_w"), 1L).otherwise(0L)).as("under_violations"),
+        sum(when(col("est").cast("double") > col("true_w").cast("double") + col("eps_n"), 1L)
+          .otherwise(0L)).as("over_violations"),
+        floor(max(col("eps_n")) * 1000.0).cast("long").as("eps_n_bound_milli"))
+  }
+}

@@ -122,7 +122,7 @@ final class TDigest private (
       val center = cum + weights(i) / 2.0
       val nextCenter = cum + weights(i) + weights(i + 1) / 2.0
       if (target < nextCenter) {
-        if (target <= center) return if (i == 0) _min + (means(0) - _min) * 0 else means(i)
+        if (target <= center) return means(i)
         val frac = (target - center) / (nextCenter - center)
         return means(i) + (means(i + 1) - means(i)) * frac
       }
