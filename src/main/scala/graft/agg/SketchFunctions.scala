@@ -35,15 +35,13 @@ object SketchFunctions {
     private val local = new ThreadLocal[(Long, Long, T)] {
       override def initialValue(): (Long, Long, T) = (0L, 0L, null)
     }
-    @inline private def fingerprint(b: Array[Byte]): (Long, Long) = {
-      val n = b.length
-      val h1 = XxHash64.hashBytes(b, 0, math.min(64, n), 0x5eedL)
-      val mid = math.max(0, n / 2 - 32)
-      val h2 = XxHash64.hashBytes(b, mid, math.min(64, n - mid), 0xfeedL) ^
-        XxHash64.hashBytes(b, math.max(0, n - 64), math.min(64, n), 0xbeefL) ^
-        (n.toLong * 0x9E3779B185EBCA87L)
-      (h1, h2)
-    }
+    // Fingerprint = xxhash64 of the ENTIRE byte array (two seeds). Sampling
+    // head/mid/tail bytes is NOT safe here: sparse same-shape sketches are
+    // ~all zeros with identical headers and collided in practice (a probe
+    // answered from the wrong query's sketch). Full-array hashing costs
+    // ~0.1ms/MB per row — still ~3x cheaper than deserializing, and exact.
+    @inline private def fingerprint(b: Array[Byte]): (Long, Long) =
+      (XxHash64.hashBytes(b, 0x5eedL), XxHash64.hashBytes(b, 0xfeedL))
     def get(bytes: Array[Byte], parse: Array[Byte] => T): T = {
       val (f1, f2) = fingerprint(bytes)
       val cur = local.get()
@@ -130,6 +128,18 @@ object SketchFunctions {
 
   def cm_query(sketch: Column, key: Column): Column =
     functions.udf(cmQueryUdf).apply(sketch, key)
+
+  /** Batched point-frequency probe: decode the sketch ONCE, answer every
+    * key in the array — the preferred probe shape when the key set fits a
+    * row (the per-row `cm_query` UDF is for billion-key probe sides). */
+  def cm_query_each(sketch: Column, keys: Column): Column =
+    functions.udf((bytes: Array[Byte], keys: Array[String]) =>
+      if (bytes == null) Array.empty[TopKEntry]
+      else {
+        val cm = CountMinSketch.deserialize(bytes)
+        keys.map(k => TopKEntry(k, if (k == null) -1L else cm.query(k)))
+      }
+    ).apply(sketch, keys)
 
   /** Total stream weight N recorded in a CM sketch (for ε·N bounds). */
   def cm_total(sketch: Column): Column =

@@ -23,13 +23,16 @@ import graft.agg.SketchFunctions._
  */
 object SketchQueries {
 
-  /** q01: CM point-frequency per event_type (collision-free width). */
+  /** q01: CM point-frequency per event_type (collision-free width).
+    * Batched probe: the key set is collected in-plan and the sketch decoded
+    * once (`cm_query_each`), not once per probe row. */
   def cmPointEventType(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val sk = ev.agg(cm_sketch(col("event_type"), lit(1L), eps = 1e-4).as("sk"))
-    val keys = ev.select(col("event_type")).distinct()
+    val keys = ev.agg(collect_set(col("event_type")).as("keys"))
     keys.crossJoin(broadcast(sk))
-      .select(col("event_type"), cm_query(col("sk"), col("event_type")).as("est_count"))
+      .select(explode(cm_query_each(col("sk"), col("keys"))).as("e"))
+      .select(col("e.key").as("event_type"), col("e.est").as("est_count"))
       .orderBy("event_type")
   }
 
@@ -149,10 +152,12 @@ object SketchQueries {
     val li = Tables.lineitem(spark, sfDir)
     val keyed = li.select(col("l_partkey").cast("string").as("k"))
     val sk = keyed.agg(cm_sketch(col("k"), lit(1L), eps = 1e-4).as("sk"))
-    val candidates = keyed.distinct()
+    // batched probe: collect the distinct key set, decode the sketch once
+    val candidates = keyed.agg(collect_set(col("k")).as("keys"))
       .crossJoin(broadcast(sk))
-      .filter(cm_query(col("sk"), col("k")) > 45L)
-      .select(col("k"))
+      .select(explode(cm_query_each(col("sk"), col("keys"))).as("e"))
+      .filter(col("e.est") > 45L)
+      .select(col("e.key").as("k"))
     // phase 2: exact counts for the surviving candidate set only
     keyed.join(broadcast(candidates), Seq("k"), "left_semi")
       .groupBy(col("k")).agg(count(lit(1)).as("exact_count"))

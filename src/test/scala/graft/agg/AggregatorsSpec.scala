@@ -139,4 +139,20 @@ class AggregatorsSpec extends SparkTestBase {
       .as[Long].collect()
     assert(rows.length === 1 && rows.head === truth("key_0"))
   }
+
+  test("probe memo: two same-shape sparse sketches answer from their own contents") {
+    // regression: head/mid/tail-sampled fingerprints collided for sparse
+    // same-shape sketches and a probe answered from the wrong sketch
+    val evA = Seq.fill(10000)("alpha").toDF("k")
+    val evB = Seq.fill(10000)("beta").toDF("k")
+    def probe(df: org.apache.spark.sql.DataFrame, key: String): Long = {
+      val sk = df.agg(cm_sketch(col("k"), lit(1L), eps = 1e-4).as("sk"))
+      df.select(col("k")).distinct().crossJoin(broadcast(sk))
+        .select(cm_query(col("sk"), lit(key)).as("est"))
+        .head().getLong(0)
+    }
+    assert(probe(evA, "alpha") === 10000L)
+    assert(probe(evB, "alpha") === 0L) // same dims, same totalWeight, sparse
+    assert(probe(evB, "beta") === 10000L)
+  }
 }
