@@ -27,8 +27,12 @@ object Bench {
   def timeBest[T](f: => T): Double =
     Seq(time(f)._2, time(f)._2, time(f)._2).min
 
-  /** CM/TopK/HLL build throughput over `rows` generated corpus rows. */
-  def sketchThroughput(spark: SparkSession, rows: Long, parts: Int): Map[String, Double] = {
+  /** CM/TopK/HLL build throughput over `rows` generated corpus rows.
+    * `eps` sizes the CM paths: 1e-4 (width 32768, 1.3MB buffer) stresses
+    * memory, 1e-3 (width 4096, 160KB) is the cache-resident HH sizing. */
+  def sketchThroughput(spark: SparkSession, rows: Long, parts: Int,
+      eps: Double = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPS", "1e-4").toDouble)
+      : Map[String, Double] = {
     // prune to the two consumed columns BEFORE caching: the cached working
     // set is what a column-pruned parquet scan would deliver, and it must
     // fit in memory or the "throughput" measures disk instead
@@ -39,21 +43,26 @@ object Bench {
     // otherwise the first measured stage absorbs the collection
     System.gc()
     val cmSec = timeBest {
-      corpus.agg(cm_sketch(col("token"), col("weight"), eps = 1e-4)).head()
+      corpus.agg(cm_sketch(col("token"), col("weight"), eps = eps)).head()
     }
-    graft.agg.NativeCountMinAgg.register(spark, eps = 1e-4)
+    graft.agg.NativeCountMinAgg.register(spark, eps = eps)
     corpus.createOrReplaceTempView("bench_corpus_v")
     val cmNativeSec = timeBest {
       spark.sql("SELECT cm_sketch_fast(token, weight) FROM bench_corpus_v").head()
     }
     val topkSec = timeBest {
-      corpus.agg(cm_topk(col("token"), lit(1L), capacity = 4096, eps = 1e-4)).head()
+      corpus.agg(cm_topk(col("token"), lit(1L), capacity = 4096, eps = eps)).head()
     }
     val hllSec = timeBest {
       corpus.agg(hll_sketch(col("token"), p = 14)).head()
     }
     val kllSec = timeBest {
       corpus.agg(kll_sketch(col("weight").cast("double"), k = 200)).head()
+    }
+    // platform baseline: pure whole-stage-codegen scan+hash aggregate over
+    // the same cache - zero sketch code; what the VM's Spark pipeline can do
+    val scanSec = timeBest {
+      corpus.agg(expr("bit_xor(xxhash64(token))")).head()
     }
     corpus.unpersist()
     Map(
@@ -66,7 +75,9 @@ object Bench {
       "hll_build_sec" -> hllSec,
       "hll_build_mrows_per_sec" -> rows / hllSec / 1e6,
       "kll_build_sec" -> kllSec,
-      "kll_build_mrows_per_sec" -> rows / kllSec / 1e6)
+      "kll_build_mrows_per_sec" -> rows / kllSec / 1e6,
+      "scan_baseline_sec" -> scanSec,
+      "scan_baseline_mrows_per_sec" -> rows / scanSec / 1e6)
   }
 
   def session(cpus: String): SparkSession = SparkSession.builder()

@@ -42,7 +42,17 @@ case class NativeCountMinAgg(
       val w = right.eval(input)
       val weight = if (w == null) 1L else w.asInstanceOf[Long]
       val utf8 = k.asInstanceOf[UTF8String]
-      buffer.update(Hash128.ofBytes(utf8.getBytes, seed), weight)
+      // zero-copy, zero-alloc: hash the UTF8String bytes in place with
+      // Spark's XXH64 (bit-identical to graft.sketch.XxHash64 — parity
+      // pinned in HashingSpec), same double-hash halves as Hash128.ofBytes
+      val base = utf8.getBaseObject
+      val off = utf8.getBaseOffset
+      val n = utf8.numBytes
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off, n, seed ^ Hash128.Seed1)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off, n, seed ^ Hash128.Seed2)
+      buffer.updateRaw(h1, h2, weight)
     }
     buffer
   }

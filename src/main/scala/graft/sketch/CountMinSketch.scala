@@ -49,6 +49,17 @@ final class CountMinSketch private (
   def update(key: String, weight: Long): Unit =
     update(Hash128.ofString(key, seed), weight)
 
+  /** Allocation-free update from precomputed double-hash halves (h_i =
+    * h1 + i·h2, the same rows [[Hash128]] derives). */
+  @inline def updateRaw(h1: Long, h2: Long, weight: Long): Unit = {
+    var i = 0
+    while (i < depth) {
+      counters(i * width + ((h1 + i.toLong * h2) & mask.toLong).toInt) += weight
+      i += 1
+    }
+    _totalWeight += weight
+  }
+
   def update(key: Long, weight: Long): Unit =
     update(Hash128.ofLong(key, seed), weight)
 
