@@ -22,10 +22,14 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Best of three runs: absorbs one-off GC/JIT debt landing in early
-    * timed iterations. */
-  def timeBest[T](f: => T): Double =
+  /** One untimed warm run, then best of three: the warm run absorbs the
+    * path's own codegen/JIT debt so numbers are insensitive to the ORDER the
+    * paths are measured in (round-1 had native-vs-udaf inverted between
+    * Bench and ScalingBench purely from warmup ordering). */
+  def timeBest[T](f: => T): Double = {
+    f
     Seq(time(f)._2, time(f)._2, time(f)._2).min
+  }
 
   /** CM/TopK/HLL build throughput over `rows` generated corpus rows.
     * `eps` sizes the CM paths: 1e-4 (width 32768, 1.3MB buffer) stresses

@@ -80,7 +80,12 @@ object SparkEntry {
     "q40_bound_audit" -> ((s: SparkSession, d: String) =>
       BoundAudit.sampledSliceAudit(
         Tables.events(s, d).withColumn("one", lit(1L)), "user_id", "one",
-        sampleOneIn = 3, eps = 1e-4, delta = 0.01))
+        samplePred = col("user_id") % 3 === 0, eps = 1e-4, delta = 0.01)),
+    "q41_lsh_neardup" -> AnnQueries.lshNearDupPairs _,
+    "q42_replicated_min" -> SketchQueries.replicatedMinCm _,
+    "q43_halfsketch_max" -> SketchQueries.halfSketchMax _,
+    "q44_reroute_delta" -> MetricQueries.rerouteDeltaGate _,
+    "q45_sketchvisor_topk" -> SketchQueries.sketchVisorTopK _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q22
@@ -387,35 +392,70 @@ object SparkEntry {
         | cast(0 AS bigint) AS err_bound
         |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin,
 
-    "q33_kll_by_lang" ->
-      """SELECT lang, cast(quantile_disc(n_chars, 0.5) AS bigint) AS p50,
-        | cast(quantile_disc(n_chars, 0.9) AS bigint) AS p90
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q40_bound_audit" -> {
+      // same ε-effective constant the Spark side computes; Double.toString
+      // round-trips exactly, so both engines multiply the same double
+      val eps = java.lang.Double.toString(BoundAudit.effectiveEps(1e-4))
+      s"""SELECT
+         | (SELECT count(DISTINCT user_id) FROM events WHERE user_id % 3 = 0)
+         |   AS n_sampled_keys,
+         | cast(0 AS bigint) AS under_violations,
+         | cast(0 AS bigint) AS over_violations,
+         | cast(floor((cast($eps AS double) * cast((SELECT count(*) FROM events) AS double))
+         |   * 1000.0) AS bigint) AS eps_n_bound_milli""".stripMargin
+    },
 
-    "q34_cm_weighted" ->
-      """SELECT l_returnflag, cast(sum(cast(l_quantity AS bigint)) AS bigint)
-        | AS est_quantity
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q41_lsh_neardup" ->
+      """WITH u AS (
+        |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> cast(embedding[i] AS double) *
+        |        (CASE WHEN (i % 2) = 1 THEN cast(0.9 AS double)
+        |              ELSE cast(1.1 AS double) END))
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    cast(floor(
+        |      list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+        |        * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]))))
+        |      * 1000000.0) AS bigint) AS sim_micro
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim_micro FROM pairs
+        |WHERE sim_micro >= 900000 ORDER BY id_a, id_b""".stripMargin,
 
-    "q35_hll_by_lang" ->
-      """SELECT lang, count(DISTINCT source) AS exact_sources, true AS within_bound
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "q28_filtered_hh" ->
-      """SELECT cast(l_partkey AS varchar) AS k, count(*) AS exact_count
-        |FROM lineitem GROUP BY 1 HAVING count(*) > 45 ORDER BY k""".stripMargin,
-
-    "q29_cs_point" ->
+    "q42_replicated_min" ->
       """SELECT event_type, count(*) AS est_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "q30_mg_topk" ->
-      """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count
-        |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin,
+    "q43_halfsketch_max" ->
+      """SELECT event_type, count(*) AS est_count
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "q31_fss_topk" ->
-      """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count,
-        | cast(0 AS bigint) AS err_bound
+    "q44_reroute_delta" ->
+      """WITH topo AS (
+        |  SELECT o_orderkey FROM orders
+        |  QUALIFY row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+        |    <= ceil(0.01 * count(*) OVER ())),
+        |before_l AS (
+        |  SELECT cast(max(load) AS bigint) AS max_load_before FROM (
+        |    SELECT cast(sum(l_quantity) AS bigint) AS load
+        |    FROM lineitem GROUP BY l_suppkey)),
+        |after_l AS (
+        |  SELECT cast(max(load) AS bigint) AS max_load_after FROM (
+        |    SELECT cast(sum(l_quantity) AS bigint) AS load
+        |    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM topo)
+        |    GROUP BY l_suppkey))
+        |SELECT max_load_before, max_load_after,
+        |  cast(floor((cast(max_load_before AS double) - cast(max_load_after AS double))
+        |    / cast(max_load_before AS double) * 1000000.0) AS bigint) AS reduction_micro
+        |FROM before_l, after_l""".stripMargin,
+
+    "q45_sketchvisor_topk" ->
+      """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count
         |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin,
 
     "q25_cosine_neardup" ->

@@ -2,9 +2,10 @@ package graft.agg
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
-import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.sketch.{CountMinSketch, Hash128}
 
@@ -33,6 +34,21 @@ case class NativeCountMinAgg(
   def keyExpr: Expression = left
   def weightExpr: Expression = right
 
+  /** Checked input types: mistyped SQL (e.g. a non-string key) fails at
+    * ANALYSIS with a clear message instead of a runtime ClassCastException
+    * in update(). Any integral weight type is accepted (coerced in update). */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okKey = left.dataType == StringType
+    val okW = right.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (okKey && okW) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cm_sketch_fast expects (STRING key, integral weight), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
   override def createAggregationBuffer(): CountMinSketch =
     CountMinSketch.fromErrorBounds(eps, delta, seed)
 
@@ -40,7 +56,7 @@ case class NativeCountMinAgg(
     val k = left.eval(input)
     if (k != null) {
       val w = right.eval(input)
-      val weight = if (w == null) 1L else w.asInstanceOf[Long]
+      val weight = if (w == null) 1L else w.asInstanceOf[Number].longValue
       val utf8 = k.asInstanceOf[UTF8String]
       // zero-copy, zero-alloc: hash the UTF8String bytes in place with
       // Spark's XXH64 (bit-identical to graft.sketch.XxHash64 — parity

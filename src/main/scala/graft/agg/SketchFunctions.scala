@@ -32,25 +32,38 @@ object SketchFunctions {
    * row hands the UDF a fresh byte-array copy — identity caching can't hit.
    */
   private final class SketchMemo[T >: Null <: AnyRef] {
-    private val local = new ThreadLocal[(Long, Long, T)] {
-      override def initialValue(): (Long, Long, T) = (0L, 0L, null)
+    // 4 slots per thread so queries probing several broadcast sketches per
+    // row (e.g. q42's 3 replicas combined with `least`) don't thrash the
+    // memo back into per-row deserialization; round-robin eviction.
+    private final class Slots {
+      val f1 = new Array[Long](4)
+      val f2 = new Array[Long](4)
+      val vs = new Array[AnyRef](4)
+      var next = 0
+    }
+    private val local = new ThreadLocal[Slots] {
+      override def initialValue(): Slots = new Slots
     }
     // Fingerprint = xxhash64 of the ENTIRE byte array (two seeds). Sampling
     // head/mid/tail bytes is NOT safe here: sparse same-shape sketches are
     // ~all zeros with identical headers and collided in practice (a probe
     // answered from the wrong query's sketch). Full-array hashing costs
     // ~0.1ms/MB per row — still ~3x cheaper than deserializing, and exact.
-    @inline private def fingerprint(b: Array[Byte]): (Long, Long) =
-      (XxHash64.hashBytes(b, 0x5eedL), XxHash64.hashBytes(b, 0xfeedL))
     def get(bytes: Array[Byte], parse: Array[Byte] => T): T = {
-      val (f1, f2) = fingerprint(bytes)
-      val cur = local.get()
-      if (cur._3 != null && cur._1 == f1 && cur._2 == f2) cur._3
-      else {
-        val v = parse(bytes)
-        local.set((f1, f2, v))
-        v
+      val f1 = XxHash64.hashBytes(bytes, 0x5eedL)
+      val f2 = XxHash64.hashBytes(bytes, 0xfeedL)
+      val s = local.get()
+      var i = 0
+      while (i < 4) {
+        if (s.vs(i) != null && s.f1(i) == f1 && s.f2(i) == f2)
+          return s.vs(i).asInstanceOf[T]
+        i += 1
       }
+      val v = parse(bytes)
+      val slot = s.next
+      s.f1(slot) = f1; s.f2(slot) = f2; s.vs(slot) = v
+      s.next = (slot + 1) & 3
+      v
     }
   }
 

@@ -11,46 +11,71 @@ import graft.agg.SketchFunctions._
  *
  * Level 1: rows are hash-sharded on the key (`pmod(xxhash64(key), n)`) and
  * one CM sketch is aggregated per shard; each completed batch of shards is
- * written as a Parquet snapshot directory carrying per-shard lineage
- * (rows_seen, total_weight, wall_ms) and committed by an ATOMIC manifest
- * rename — the Iceberg-commit semantics emulated on plain files (no Iceberg
- * runtime ships in /opt/spark/jars; substitution stated in README).
+ * written as a SNAPSHOT-SCOPED Parquet directory (`shards/snap-<id>`) and
+ * committed by an ATOMIC manifest rename — the Iceberg-commit semantics
+ * emulated on plain files (no Iceberg runtime ships in /opt/spark/jars;
+ * substitution stated in README).
+ *
+ * Crash safety (round-1 ADVICE fix): data lands in its snapshot directory
+ * BEFORE the commit rename, and readers only ever open directories named by
+ * a committed manifest — a crash between the data write and the commit
+ * leaves an orphan `snap-<id>` that no read touches, and the retry (which
+ * recomputes the same next id from the committed set) OVERWRITES it. Shard
+ * rows can therefore never be read twice, and `cm_merge` never double
+ * counts.
  *
  * Resume: a restarted build reads the manifest union, recomputes only the
  * missing shards (a filter on the shard hash — partition pruning of the
  * recompute), and commits a new snapshot. Level 2 `cm_merge`s all shard
  * sketches; because CM merge is associative + commutative (property-tested),
  * the resumed result is bit-identical to an uninterrupted build.
+ *
+ * Lineage: per-shard (rows_seen, total_weight) ride in the shard parquet;
+ * wall_ms is measured AROUND the write action (round-1 recorded
+ * plan-construction time, ~0) and recorded per snapshot in the commit
+ * manifest, attributed to each of the snapshot's shards.
  */
 object SketchCheckpoint {
 
-  final case class Manifest(shards: Set[Int])
-
   private def manifestPath(dir: String) = Paths.get(dir, "manifest")
 
-  /** Committed shard ids: union of all manifest snapshot files. */
-  def committedShards(ckptDir: String): Set[Int] = {
+  /** Committed (snapshotId, shardId, wallMs) rows from all manifests. */
+  private def committedEntries(ckptDir: String): Seq[(Int, Int, Long)] = {
     val mdir = manifestPath(ckptDir)
-    if (!Files.exists(mdir)) Set.empty
+    if (!Files.exists(mdir)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
       Files.list(mdir).iterator().asScala
         .filter(_.getFileName.toString.startsWith("commit-"))
-        .flatMap(p => Files.readAllLines(p).asScala)
-        .map(_.trim.toInt)
-        .toSet
+        .flatMap { p =>
+          val snapId = p.getFileName.toString.stripPrefix("commit-").toInt
+          Files.readAllLines(p).asScala.map { line =>
+            val parts = line.trim.split(",")
+            (snapId, parts(0).toInt, if (parts.length > 1) parts(1).toLong else 0L)
+          }
+        }
+        .toSeq
     }
   }
 
+  /** Committed shard ids: union of all manifest snapshot files. */
+  def committedShards(ckptDir: String): Set[Int] =
+    committedEntries(ckptDir).map(_._2).toSet
+
   /** Atomically commit `shards` as done (write temp + rename). */
-  private def commit(ckptDir: String, snapshotId: Int, shards: Seq[Int]): Unit = {
+  private def commit(ckptDir: String, snapshotId: Int, shards: Seq[Int],
+      wallMs: Long): Unit = {
     val mdir = manifestPath(ckptDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp-$snapshotId")
-    Files.write(tmp, shards.map(_.toString).mkString("\n").getBytes)
+    Files.write(tmp, shards.map(s => s"$s,$wallMs").mkString("\n").getBytes)
     Files.move(tmp, mdir.resolve(s"commit-$snapshotId"),
       StandardCopyOption.ATOMIC_MOVE)
   }
+
+  private def committedSnapDirs(ckptDir: String): Seq[String] =
+    committedEntries(ckptDir).map(_._1).distinct.sorted
+      .map(id => s"$ckptDir/shards/snap-$id")
 
   /**
    * Build (or resume) the sharded level-1 sketches for `df(keyCol, wCol)`.
@@ -60,11 +85,14 @@ object SketchCheckpoint {
   def buildShards(df: DataFrame, keyCol: String, wCol: String, numShards: Int,
       ckptDir: String, eps: Double = 1e-4, delta: Double = 0.01,
       failAfterShards: Int = Int.MaxValue): Set[Int] = {
-    val done = committedShards(ckptDir)
+    val entries = committedEntries(ckptDir)
+    val done = entries.map(_._2).toSet
     val missing = (0 until numShards).filterNot(done.contains)
     if (missing.isEmpty) return done
     val todo = missing.take(failAfterShards)
-    val t0 = System.currentTimeMillis()
+    // next id derives from the COMMITTED set only, so a retry after a crash
+    // reuses (and overwrites) the orphan snapshot directory
+    val snapId = (entries.map(_._1) :+ 0).max + 1
     val sharded = df
       .withColumn("shard", pmod(xxhash64(col(keyCol)), lit(numShards)).cast("int"))
       .filter(col("shard").isin(todo: _*))
@@ -73,23 +101,30 @@ object SketchCheckpoint {
         cm_sketch(col(keyCol), col(wCol), eps, delta).as("sketch"),
         count(lit(1)).as("rows_seen"),
         sum(col(wCol)).as("total_weight"))
-      .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
       .withColumn("input_lineage", lit(df.inputFiles.sorted.mkString(",")))
-    sharded.write.mode("append").parquet(s"$ckptDir/shards")
-    commit(ckptDir, snapshotId = done.size + todo.size, todo)
+    val t0 = System.currentTimeMillis()
+    sharded.write.mode("overwrite").parquet(s"$ckptDir/shards/snap-$snapId")
+    val wallMs = System.currentTimeMillis() - t0
+    commit(ckptDir, snapshotId = snapId, todo, wallMs)
     done ++ todo
   }
 
-  /** Level 2: fold every committed shard sketch into one (order-free). */
+  /** Level 2: fold every COMMITTED shard sketch into one (order-free). */
   def mergeShards(spark: SparkSession, ckptDir: String): Array[Byte] = {
-    val shards = spark.read.parquet(s"$ckptDir/shards")
+    val shards = spark.read.parquet(committedSnapDirs(ckptDir): _*)
     shards.agg(cm_merge(col("sketch")).as("merged"))
       .head().getAs[Array[Byte]]("merged")
   }
 
-  /** Lineage/metrics view over the checkpoint (north-rule visibility). */
-  def lineage(spark: SparkSession, ckptDir: String): DataFrame =
-    spark.read.parquet(s"$ckptDir/shards")
-      .select(col("shard"), col("rows_seen"), col("total_weight"), col("wall_ms"))
+  /** Lineage/metrics view over the committed checkpoint state. */
+  def lineage(spark: SparkSession, ckptDir: String): DataFrame = {
+    import spark.implicits._
+    val walls = committedEntries(ckptDir)
+      .map { case (_, shard, wallMs) => (shard, wallMs) }
+      .toDF("shard", "wall_ms")
+    spark.read.parquet(committedSnapDirs(ckptDir): _*)
+      .select(col("shard"), col("rows_seen"), col("total_weight"))
+      .join(walls, Seq("shard"))
       .orderBy("shard")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.agg.SketchFunctions._
 
@@ -17,18 +17,24 @@ import graft.agg.SketchFunctions._
  */
 object BoundAudit {
 
+  /** Effective ε of a CM built at nominal `eps` (width rounds up to 2^k). */
+  def effectiveEps(eps: Double): Double =
+    math.E / graft.sketch.SketchIO.nextPow2(math.ceil(math.E / eps).toInt)
+
+  /** `samplePred` picks the audited KEY slice (not rows — a key's count must
+    * be exact, so every row of a sampled key is included). It must be
+    * deterministic; keep it ANSI-SQL-expressible (e.g. `key % 3 = 0`) and
+    * the audit gets a DuckDB oracle twin, since in the collision-free gate
+    * regime the violation counts are deterministically zero. */
   def sampledSliceAudit(df: DataFrame, keyCol: String, weightCol: String,
-      sampleOneIn: Int, eps: Double, delta: Double): DataFrame = {
+      samplePred: Column, eps: Double, delta: Double): DataFrame = {
     val keyed = df.select(col(keyCol).cast("string").as("k"),
-      col(weightCol).cast("long").as("w"))
+      col(weightCol).cast("long").as("w"), samplePred.as("sampled"))
     val sk = keyed.agg(cm_sketch(col("k"), col("w"), eps, delta).as("sk"))
-    // deterministic hash-sample of KEYS (not rows — a key's count must be
-    // exact, so every row of a sampled key is included)
     val sampledExact = keyed
-      .filter(pmod(xxhash64(col("k"), lit(0x5a11ed)), lit(sampleOneIn)) === 0)
+      .filter(col("sampled"))
       .groupBy(col("k")).agg(sum(col("w")).as("true_w"))
-    val width = graft.sketch.SketchIO.nextPow2(math.ceil(math.E / eps).toInt)
-    val epsEff = math.E / width
+    val epsEff = effectiveEps(eps)
     sampledExact.crossJoin(broadcast(sk))
       .select(col("k"), col("true_w"),
         cm_query(col("sk"), col("k")).as("est"),

@@ -28,25 +28,25 @@ object MetricQueries {
 
   private def microFloor(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
 
-  /** Avg relative error |est−true|/true over the top ⌈θ·N⌉ keys by true. */
+  /** Avg relative error |est−true|/true over the top ⌈θ·N⌉ keys by true.
+    * Top-k via [[SketchSelect.topK]] — at θ·10⁹ keys a plain
+    * `orderBy().limit(k)` funnels ~10⁷ rows through one TakeOrdered heap;
+    * the sketch-guided exact selection never converges O(k) rows anywhere. */
   def relativeErrorOfTop(perKey: DataFrame, theta: Double): DataFrame = {
     val n = perKey.count()
     val k = math.ceil(theta * n).toLong.max(1L)
-    // TakeOrderedAndProject (no global sort, no single-partition window)
-    perKey.orderBy(desc("true_count"), asc("k")).limit(k.toInt)
+    SketchSelect.topK(perKey, "true_count", "k", k)
       .agg(lit(k).as("k"),
         microFloor(avg(abs(col("est").cast("double") - col("true_count").cast("double")) /
           col("true_count").cast("double"))).as("avg_rel_err_micro"))
   }
 
-  /** Hit rate |topK(true) ∩ topK(est)| / K. */
+  /** Hit rate |topK(true) ∩ topK(est)| / K (both sets sketch-selected). */
   def elephantCover(perKey: DataFrame, theta: Double): DataFrame = {
     val n = perKey.count()
     val k = math.ceil(theta * n).toLong.max(1L)
-    val topTrue = perKey.orderBy(desc("true_count"), asc("k")).limit(k.toInt)
-      .select(col("k"))
-    val topEst = perKey.orderBy(desc("est"), asc("k")).limit(k.toInt)
-      .select(col("k"))
+    val topTrue = SketchSelect.topK(perKey, "true_count", "k", k).select(col("k"))
+    val topEst = SketchSelect.topK(perKey, "est", "k", k).select(col("k"))
     val hits = topTrue.join(topEst, Seq("k"), "left_semi").count()
     perKey.sparkSession.range(1).select(
       lit(k).as("k"),
@@ -68,12 +68,15 @@ object MetricQueries {
 
   // ---- gate instantiations (both measures exact → oracle-reproducible)
 
-  /** Per-user (true=all events, est=click events) — metric machinery input. */
+  /** Per-user (true=all events, est=click events) — metric machinery input.
+    * Cached: the sketch-guided selection makes several cheap passes over the
+    * per-key aggregate; caching it re-aggregates the raw events only once. */
   private def eventsPerUser(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("user_id").cast("string").as("k"))
       .agg(count(lit(1)).as("true_count"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("est"))
+      .cache()
 
   /** q11: RelativeErrorOfTop at θ=0.05 over events per-user measures. */
   def relErrTopGate(spark: SparkSession, sfDir: String): DataFrame =
@@ -86,6 +89,7 @@ object MetricQueries {
       .groupBy(col("l_partkey").cast("string").as("k"))
       .agg(count(lit(1)).as("true_count"),
         sum(col("l_quantity")).cast("long").as("est"))
+      .cache()
     elephantCover(perKey, 0.01)
   }
 
@@ -115,17 +119,48 @@ object MetricQueries {
         * lit(1000000.0)).cast("long").as("stddev_load_micro"))
   }
 
-  /** Per-supplier loads from the top-1% orders (shared by q14/q36). */
+  /** Per-supplier loads from the top-1% orders (shared by q14/q36).
+    * Top-order selection via [[SketchSelect.topK]]; the selected 1% is still
+    * small relative to lineitem, so the join stays broadcast. */
   private def rerouteTopGateAll(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
     val nOrders = ord.count()
     val k = math.ceil(0.01 * nOrders).toLong.max(1L)
-    val top = ord.orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(k.toInt)
+    val top = SketchSelect.topK(
+      ord.select(col("o_orderkey"), col("o_totalprice")), "o_totalprice", "o_orderkey", k)
       .select(col("o_orderkey"))
     li.join(broadcast(top), li("l_orderkey") === top("o_orderkey"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_quantity")).cast("long").as("load"))
+  }
+
+  /** q44: the reference's two-scenario RerouteEval comparison
+    * (/root/reference/Simulator/Program.cs:620-642 — max link load of the
+    * ORIGINAL routing vs after the heavy flows are rerouted): per-supplier
+    * loads over all orders vs with the top-1% orders removed (the rerouted
+    * traffic), reporting both maxima and the relative reduction. */
+  def rerouteDeltaGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val nOrders = ord.count()
+    val k = math.ceil(0.01 * nOrders).toLong.max(1L)
+    val top = SketchSelect.topK(
+      ord.select(col("o_orderkey"), col("o_totalprice")), "o_totalprice", "o_orderkey", k)
+      .select(col("o_orderkey"))
+    def maxLoad(rows: DataFrame): DataFrame = rows
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("load"))
+      .agg(max(col("load")).as("m"))
+    val before = maxLoad(li).select(col("m").as("max_load_before"))
+    val after = maxLoad(li.join(broadcast(top),
+        li("l_orderkey") === top("o_orderkey"), "left_anti"))
+      .select(col("m").as("max_load_after"))
+    before.crossJoin(after).select(
+      col("max_load_before"), col("max_load_after"),
+      floor((col("max_load_before").cast("double") - col("max_load_after").cast("double"))
+        / col("max_load_before").cast("double") * lit(1000000.0))
+        .cast("long").as("reduction_micro"))
   }
 
   /** q14: the reference's heavy-hitter → downstream-action pipeline shape

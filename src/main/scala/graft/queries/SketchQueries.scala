@@ -152,12 +152,13 @@ object SketchQueries {
     val li = Tables.lineitem(spark, sfDir)
     val keyed = li.select(col("l_partkey").cast("string").as("k"))
     val sk = keyed.agg(cm_sketch(col("k"), lit(1L), eps = 1e-4).as("sk"))
-    // batched probe: collect the distinct key set, decode the sketch once
-    val candidates = keyed.agg(collect_set(col("k")).as("keys"))
+    // probe shape that survives a billion-key side: distinct keys stay a
+    // DataFrame (never funneled through one collect_set row) and the
+    // broadcast sketch is decoded once per task by the memoized cm_query
+    val candidates = keyed.select(col("k")).distinct()
       .crossJoin(broadcast(sk))
-      .select(explode(cm_query_each(col("sk"), col("keys"))).as("e"))
-      .filter(col("e.est") > 45L)
-      .select(col("e.key").as("k"))
+      .filter(cm_query(col("sk"), col("k")) > 45L)
+      .select(col("k"))
     // phase 2: exact counts for the surviving candidate set only
     keyed.join(broadcast(candidates), Seq("k"), "left_semi")
       .groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
@@ -258,7 +259,81 @@ object SketchQueries {
       .orderBy(col("lang"))
   }
 
+  /** q42: the reference's per-switch replication with min-combine (C1,
+    * /root/reference/Simulation/CountMin.cs Update-per-switch + per-path
+    * query fold) as a RUNNABLE operator, not just the CompositionParitySpec
+    * fixture: R = 3 independent CM replicas (distinct seeds) over the same
+    * stream, point answer = least of the three estimates — replication
+    * tightens the one-sided CM overestimate exactly the way extra depth
+    * does, but stays mergeable per replica. Exact regime → exact oracle. */
+  def replicatedMinCm(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val keyed = ev.select(col("event_type").as("k"))
+    val sks = keyed.agg(
+      cm_sketch(col("k"), lit(1L), eps = 1e-4, seed = 0x11L).as("sk1"),
+      cm_sketch(col("k"), lit(1L), eps = 1e-4, seed = 0x22L).as("sk2"),
+      cm_sketch(col("k"), lit(1L), eps = 1e-4, seed = 0x33L).as("sk3"))
+    keyed.distinct().crossJoin(broadcast(sks))
+      .select(col("k").as("event_type"),
+        least(cm_query(col("sk1"), col("k")),
+          cm_query(col("sk2"), col("k")),
+          cm_query(col("sk3"), col("k"))).as("est_count"))
+      .orderBy("event_type")
+  }
+
+  /** q43: HalfSketch 2-way split with max-combine (C3,
+    * /root/reference/Simulation/HalfSketch.cs:39-59) as a runnable operator.
+    * Stated delta: the reference splits PER UPDATE with an unseeded Random
+    * (not reproducible, not mergeable); the deployable variant splits PER
+    * KEY (hash parity), which preserves the query shape — max over the two
+    * halves — and makes the answer deterministic: a key's whole mass lands
+    * in one half, the other returns only collision noise, and max picks the
+    * populated half. Exact in the collision-free regime → exact oracle. */
+  def halfSketchMax(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val keyed = ev.select(col("event_type").as("k"),
+      pmod(xxhash64(col("event_type")), lit(2)).as("half"))
+    val sk0 = keyed.filter(col("half") === 0)
+      .agg(cm_sketch(col("k"), lit(1L), eps = 1e-4).as("sk0"))
+    val sk1 = keyed.filter(col("half") === 1)
+      .agg(cm_sketch(col("k"), lit(1L), eps = 1e-4).as("sk1"))
+    keyed.select(col("k")).distinct()
+      .crossJoin(broadcast(sk0)).crossJoin(broadcast(sk1))
+      .select(col("k").as("event_type"),
+        greatest(cm_query(col("sk0"), col("k")),
+          cm_query(col("sk1"), col("k"))).as("est_count"))
+      .orderBy("event_type")
+  }
+
+  /** q45: the actual SketchVisor fast path (S12/S13 —
+    * [[graft.sketch.SketchVisor]]), single-partition like q32 because the
+    * kick-out algorithm is order-sensitive by construction. All-monitored
+    * regime at gate scale (capacity ≥ distinct users ⇒ zero kick-outs ⇒
+    * exact) → exact top-20 oracle; the kick-out regime is hand-traced and
+    * property-tested in SketchVisorSpec. */
+  def sketchVisorTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("k"))
+      .as[String]
+    val topDf = ev.repartition(1).mapPartitions { it =>
+      val sv = new graft.sketch.SketchVisor(4096)
+      it.foreach(k => sv.update(k, 1L))
+      sv.entries.toSeq.sortBy { case (k, est) => (-est, k) }.take(20).iterator
+    }.toDF("user_id", "est_count")
+    topDf.orderBy(desc("est_count"), asc("user_id"))
+  }
+
   private val Probs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+
+  /** Probe-probability column as DOUBLE. A `VALUES (0.5)` literal is typed
+    * decimal(2,2) by Spark and renders "0.50" — which can never hash-match
+    * the DuckDB oracle's double "0.5". Round-1 q08/q09/q10 failed on exactly
+    * this; build the column with an explicit DoubleType instead. */
+  private def probsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Probs.toDF("p")
+  }
 
   /** q08: KLL quantiles of l_extendedprice — k chosen above row count at the
     * verify scale, so the sketch never compacts and the discrete quantile is
@@ -266,9 +341,7 @@ object SketchQueries {
   def kllPrice(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val sk = li.agg(kll_sketch(col("l_extendedprice"), k = 65536).as("sk"))
-    val probs = Probs.map(p => s"($p)").mkString(", ")
-    val pdf = sk.sparkSession.sql(s"SELECT * FROM VALUES $probs AS t(p)")
-    pdf.crossJoin(broadcast(sk))
+    probsDf(spark).crossJoin(broadcast(sk))
       .select(col("p"), kll_quantile(col("sk"), col("p")).as("quantile_value"))
       .orderBy("p")
   }
@@ -277,9 +350,7 @@ object SketchQueries {
   def kllNchars(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val sk = docs.agg(kll_sketch(col("n_chars").cast("double"), k = 65536).as("sk"))
-    val probs = Probs.map(p => s"($p)").mkString(", ")
-    val pdf = docs.sparkSession.sql(s"SELECT * FROM VALUES $probs AS t(p)")
-    pdf.crossJoin(broadcast(sk))
+    probsDf(spark).crossJoin(broadcast(sk))
       .select(col("p"),
         kll_quantile(col("sk"), col("p")).cast("long").as("quantile_value"))
       .orderBy("p")
@@ -292,9 +363,7 @@ object SketchQueries {
     val li = Tables.lineitem(spark, sfDir).select(col("l_extendedprice").as("x"))
     val sk = li.agg(tdigest_sketch(col("x"), compression = 200.0).as("sk"),
       count(lit(1)).as("n"))
-    val probs = Probs.map(p => s"($p)").mkString(", ")
-    val pdf = li.sparkSession.sql(s"SELECT * FROM VALUES $probs AS t(p)")
-    val withEst = pdf.crossJoin(broadcast(sk))
+    val withEst = probsDf(spark).crossJoin(broadcast(sk))
       .select(col("p"), col("n"), tdigest_quantile(col("sk"), col("p")).as("est_q"))
     // exact rank of est_q via a broadcast of the 5 estimates against the data
     val ranks = li.crossJoin(broadcast(withEst))

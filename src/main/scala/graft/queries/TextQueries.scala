@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
-import graft.sketch.{MinHash, SimHash}
+import graft.sketch.{MinHash, SimHash, XxHash64}
 
 /**
  * Training-data-pipeline operators over the `documents` table: exact and
@@ -38,14 +38,25 @@ object TextQueries {
 
   private val ShingleN = 3
 
-  /** Docs with (id, text, minhash band hashes over 3-gram shingles) — q16. */
+  private val ShingleHashSeed = 0x51a9e1eL
+
+  /** Docs with (id, minhash band hashes, xxhash64'd shingle set) — one
+    * tokenize+shingle pass per document. The hashed shingle sets ride along
+    * so the exact-verify stage intersects long arrays instead of
+    * re-tokenizing both full texts per candidate pair (the round-1 q16
+    * hot-spot: 15.7s, 2nd slowest gate query). */
   private def minhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigUdf = udf((text: String) =>
-      MinHash.bandHashes(
-        MinHash.signature(TextAnalysis.shingles(text, ShingleN), MinhashK),
-        Bands, RowsPerBand))
+    val sigUdf = udf((text: String) => {
+      val sh = TextAnalysis.shingles(text, ShingleN)
+      val hashes = new Array[Long](sh.size)
+      var i = 0
+      val it = sh.iterator
+      while (it.hasNext) { hashes(i) = XxHash64.hashString(it.next(), ShingleHashSeed); i += 1 }
+      (MinHash.bandHashes(MinHash.signature(sh, MinhashK), Bands, RowsPerBand), hashes)
+    })
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), sigUdf(col("text")).as("bands"))
+      .select(col("doc_id"), sigUdf(col("text")).as("mh"))
+      .select(col("doc_id"), col("mh._1").as("bands"), col("mh._2").as("sh"))
   }
 
   /** q16: MinHash-LSH near-duplicate pairs, exact-Jaccard verified at τ=0.5
@@ -67,16 +78,18 @@ object TextQueries {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val texts = docs.select(col("doc_id"), col("text"))
-    val candidates = candidateIds
-      .join(texts.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(texts.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-    val jaccardUdf = udf((ta: String, tb: String) =>
-      MinHash.exactJaccard(
-        TextAnalysis.shingles(ta, ShingleN), TextAnalysis.shingles(tb, ShingleN)))
-    candidates
+    // exact verify WITHOUT re-shingling: set Jaccard over the per-doc hashed
+    // shingle arrays computed once in minhashDocs. A hash collision
+    // perturbing a set size has probability ~|set|²/2⁶⁴ per pair (same
+    // discipline as q18; verified value-equal with the string-set oracle).
+    val sets = docs.select(col("doc_id"), col("sh"))
+    candidateIds
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard_micro",
-        floor(jaccardUdf(col("text_a"), col("text_b")) * 1000000.0).cast("long"))
+        floor(col("inter").cast("double") / col("uni").cast("double") * 1000000.0).cast("long"))
       .filter(col("jaccard_micro") >= 500000L)
       .select(col("id_a"), col("id_b"), col("jaccard_micro"))
       .orderBy(col("id_a"), col("id_b"))
@@ -106,13 +119,32 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** q18: exact word-bigram Jaccard similarity, blocked by `source` (the
-    * corpus's natural bucketing column) — pairs only form inside a block,
-    * expressible 1:1 in the DuckDB oracle. Emits pairs with J ≥ 0.05.
-    * Bigram sets are compared as xxhash64 values: long-array intersection is
-    * ~5x cheaper than string intersection per pair, and a hash collision
-    * perturbing a set size has probability ~|set|²/2⁶⁴ per pair (verified
-    * value-equal with the string-based oracle). */
+  /** q18: exact word-bigram Jaccard similarity at J ≥ 0.05, blocked by
+    * `source`, expressible 1:1 in the DuckDB oracle.
+    *
+    * Round 1 shipped this as an all-pairs join within each source block —
+    * O(B²) rows through the join regardless of similarity, the classic 100×
+    * scale-killer. This version is the AllPairs/PPJoin prefix-filtering
+    * algorithm (Bayardo et al. WWW'07; Xiao et al. WWW'08) — still EXACT:
+    *
+    * 1. per-doc distinct bigram set, hashed to longs (array ops ~5x cheaper
+    *    than strings; collision odds ~|set|²/2⁶⁴ per pair — verified
+    *    value-equal with the string-based oracle);
+    * 2. canonical global token order = (document frequency asc, hash asc);
+    * 3. index only each doc's PREFIX: first |x| − ⌈t·|x|⌉ + 1 tokens in that
+    *    order (integer arithmetic: ⌈n/20⌉ = (n+19) div 20 for t = 1/20 — no
+    *    float ceil that could shorten the prefix and break the guarantee).
+    *    PPJoin Lemma 1: J(x,y) ≥ t ⟹ |x∩y| ≥ ⌈t·max(|x|,|y|)⌉ ⟹ the two
+    *    prefixes share ≥1 token, so candidate recall is exactly 1;
+    * 4. candidates = self-join of the exploded prefixes on (source, token)
+    *    — the hottest ~5% of each doc's tokens (stopword bigrams, the worst
+    *    shuffle keys) are never indexed — plus the exact size-ratio prune
+    *    J ≥ t ⟹ 20·|y| ≥ |x| ∧ 20·|x| ≥ |y| (integer-exact);
+    * 5. verify candidates with full-array intersection.
+    *
+    * Worst-case candidate volume is data-dependent (Σ prefix-df²) — that is
+    * inherent to EXACT low-threshold set-similarity join; at near-dup
+    * thresholds (τ ≥ 0.5) use the q16 MinHash-LSH path instead. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
@@ -122,10 +154,28 @@ object TextQueries {
             slice(split(col("text"), " "), lit(2), size(split(col("text"), " ")) - 1),
             (x, y) => concat_ws(" ", x, y)),
           b => xxhash64(b))).as("bigrams"))
-    val a = docs.select(col("source"), col("doc_id").as("id_a"), col("bigrams").as("bg_a"))
-    val b = docs.select(col("source"), col("doc_id").as("id_b"), col("bigrams").as("bg_b"))
-    a.join(b, Seq("source"))
-      .filter(col("id_a") < col("id_b"))
+    val ex = docs.select(col("source"), col("doc_id"), explode(col("bigrams")).as("bg"))
+    val dfreq = ex.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    // prefix tokens per doc under the global (df, bg) order
+    val prefixes = ex.join(dfreq, Seq("bg"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("bg")))).as("ord"))
+      .select(col("source"), col("doc_id"), size(col("ord")).as("n"),
+        expr("slice(transform(ord, x -> x.bg), 1, size(ord) - ((size(ord) + 19) div 20) + 1)")
+          .as("pref"))
+    val pe = prefixes.select(col("source"), col("doc_id"), col("n"),
+      explode(col("pref")).as("bg"))
+    val candidateIds = pe.select(col("source"), col("bg"), col("doc_id").as("id_a"), col("n").as("na"))
+      .join(pe.select(col("source"), col("bg"), col("doc_id").as("id_b"), col("n").as("nb")),
+        Seq("source", "bg"))
+      .filter(col("id_a") < col("id_b") &&
+        col("nb") * 20 >= col("na") && col("na") * 20 >= col("nb"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("bigrams"))
+    candidateIds
+      .join(sets.select(col("doc_id").as("id_a"), col("bigrams").as("bg_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("bigrams").as("bg_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("bg_a"), col("bg_b"))))
       .withColumn("uni", size(col("bg_a")) + size(col("bg_b")) - col("inter"))
       .withColumn("jaccard_micro",

@@ -51,6 +51,10 @@ final class TDigest private (
       add(other.means(i), other.weights(i))
       i += 1
     }
+    // add() only sees centroid MEANS — fold the other side's true extremes
+    // too, or post-merge quantiles near 0/1 clamp to interior values
+    if (other._min < _min) _min = other._min
+    if (other._max > _max) _max = other._max
     this
   }
 

@@ -56,6 +56,28 @@ class CheckpointCorpusSpec extends SparkTestBase {
     corpus.unpersist()
   }
 
+  test("orphan snapshot data (crash between write and commit) never double-counts") {
+    val dir = Files.createTempDirectory("ckpt3").toString
+    val corpus = CorpusGenerator.keyed(spark, 20000, 8).cache()
+    val direct = corpus.agg(cm_sketch(col("token"), col("weight"), eps = 1e-3).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    // snapshot 1: 3 of 8 shards committed
+    SketchCheckpoint.buildShards(corpus, "token", "weight", 8, dir,
+      eps = 1e-3, failAfterShards = 3)
+    // simulate a crash AFTER the next snapshot's data write but BEFORE its
+    // commit: orphan duplicate rows under the id the retry will reuse
+    spark.read.parquet(s"$dir/shards/snap-1")
+      .write.mode("overwrite").parquet(s"$dir/shards/snap-2")
+    assert(SketchCheckpoint.committedShards(dir).size === 3)
+    // resume must overwrite the orphan, not absorb it
+    val done = SketchCheckpoint.buildShards(corpus, "token", "weight", 8, dir, eps = 1e-3)
+    assert(done.size === 8)
+    val resumed = SketchCheckpoint.mergeShards(spark, dir)
+    assert(java.util.Arrays.equals(resumed, direct),
+      "orphan shard rows were double-counted into the merge")
+    corpus.unpersist()
+  }
+
   test("re-running a completed checkpoint is a no-op") {
     val dir = Files.createTempDirectory("ckpt2").toString
     val corpus = CorpusGenerator.keyed(spark, 5000, 4)

@@ -12,6 +12,8 @@ class BucketingSpec extends SparkTestBase {
 
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     val li = Tables.lineitem(spark, sf("sf0.001"))
     val ord = Tables.orders(spark, sf("sf0.001"))
     li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")

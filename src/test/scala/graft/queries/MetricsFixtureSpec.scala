@@ -86,7 +86,8 @@ class MetricsFixtureSpec extends SparkTestBase {
     val stream = StreamFixtures.zipfStream(100000, 10000, s = 1.05)
     val df = stream.toDF("k", "w").repartition(16)
     val audit = BoundAudit.sampledSliceAudit(df, "k", "w",
-      sampleOneIn = 7, eps = 1e-3, delta = 0.01).head()
+      samplePred = pmod(xxhash64(col("k"), lit(0x5a11ed)), lit(7)) === 0,
+      eps = 1e-3, delta = 0.01).head()
     assert(audit.getAs[Long]("n_sampled_keys") > 500L)
     assert(audit.getAs[Long]("under_violations") === 0L)
     val overRate = audit.getAs[Long]("over_violations").toDouble /
