@@ -35,10 +35,11 @@ object BoundAudit {
       .filter(col("sampled"))
       .groupBy(col("k")).agg(sum(col("w")).as("true_w"))
     val epsEff = effectiveEps(eps)
-    sampledExact.crossJoin(broadcast(sk))
+    val (probe, total) = cm_probe_with_total(sk)
+    sampledExact
       .select(col("k"), col("true_w"),
-        cm_query(col("sk"), col("k")).as("est"),
-        (lit(epsEff) * cm_total(col("sk")).cast("double")).as("eps_n"))
+        probe(col("k")).as("est"),
+        (lit(epsEff) * lit(total).cast("double")).as("eps_n"))
       .agg(
         count(lit(1)).as("n_sampled_keys"),
         sum(when(col("est") < col("true_w"), 1L).otherwise(0L)).as("under_violations"),

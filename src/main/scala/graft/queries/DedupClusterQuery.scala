@@ -31,11 +31,14 @@ object DedupClusterQuery {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // localCheckpoint (not just cache) TRUNCATES the lineage: without it
+      // the plan doubles every round and round ~15's DAG alone stalls the
+      // driver at corpus scale
       val next = labels
         .join(viaNeighbors, labels("node") === viaNeighbors("src"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()

@@ -35,7 +35,7 @@ object MetricQueries {
   def relativeErrorOfTop(perKey: DataFrame, theta: Double): DataFrame = {
     val n = perKey.count()
     val k = math.ceil(theta * n).toLong.max(1L)
-    SketchSelect.topK(perKey, "true_count", "k", k)
+    SketchSelect.topK(perKey, "true_count", "k", k, knownN = n)
       .agg(lit(k).as("k"),
         microFloor(avg(abs(col("est").cast("double") - col("true_count").cast("double")) /
           col("true_count").cast("double"))).as("avg_rel_err_micro"))
@@ -45,8 +45,8 @@ object MetricQueries {
   def elephantCover(perKey: DataFrame, theta: Double): DataFrame = {
     val n = perKey.count()
     val k = math.ceil(theta * n).toLong.max(1L)
-    val topTrue = SketchSelect.topK(perKey, "true_count", "k", k).select(col("k"))
-    val topEst = SketchSelect.topK(perKey, "est", "k", k).select(col("k"))
+    val topTrue = SketchSelect.topK(perKey, "true_count", "k", k, knownN = n).select(col("k"))
+    val topEst = SketchSelect.topK(perKey, "est", "k", k, knownN = n).select(col("k"))
     val hits = topTrue.join(topEst, Seq("k"), "left_semi").count()
     perKey.sparkSession.range(1).select(
       lit(k).as("k"),
@@ -128,7 +128,8 @@ object MetricQueries {
     val nOrders = ord.count()
     val k = math.ceil(0.01 * nOrders).toLong.max(1L)
     val top = SketchSelect.topK(
-      ord.select(col("o_orderkey"), col("o_totalprice")), "o_totalprice", "o_orderkey", k)
+      ord.select(col("o_orderkey"), col("o_totalprice")), "o_totalprice", "o_orderkey", k,
+      knownN = nOrders)
       .select(col("o_orderkey"))
     li.join(broadcast(top), li("l_orderkey") === top("o_orderkey"))
       .groupBy(col("l_suppkey"))
@@ -146,7 +147,8 @@ object MetricQueries {
     val nOrders = ord.count()
     val k = math.ceil(0.01 * nOrders).toLong.max(1L)
     val top = SketchSelect.topK(
-      ord.select(col("o_orderkey"), col("o_totalprice")), "o_totalprice", "o_orderkey", k)
+      ord.select(col("o_orderkey"), col("o_totalprice")), "o_totalprice", "o_orderkey", k,
+      knownN = nOrders)
       .select(col("o_orderkey"))
     def maxLoad(rows: DataFrame): DataFrame = rows
       .groupBy(col("l_suppkey"))

@@ -56,10 +56,11 @@ object SketchQueries {
     val keyed = li.select(col("l_partkey").cast("string").as("k"))
     val sk = keyed.agg(cm_sketch(col("k"), lit(1L), eps = 5e-3).as("sk"))
     val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("true_count"))
-    val est = exact.crossJoin(broadcast(sk))
+    val (probe, total) = cm_probe_with_total(sk)
+    val est = exact
       .select(col("k"), col("true_count"),
-        cm_query(col("sk"), col("k")).as("est"),
-        cm_total(col("sk")).as("n"))
+        probe(col("k")).as("est"),
+        lit(total).as("n"))
     // effective epsilon of the built sketch: e / width(2^k ≥ e/eps)
     val width = graft.sketch.SketchIO.nextPow2(math.ceil(math.E / 5e-3).toInt)
     val epsEff = math.E / width
@@ -153,11 +154,11 @@ object SketchQueries {
     val keyed = li.select(col("l_partkey").cast("string").as("k"))
     val sk = keyed.agg(cm_sketch(col("k"), lit(1L), eps = 1e-4).as("sk"))
     // probe shape that survives a billion-key side: distinct keys stay a
-    // DataFrame (never funneled through one collect_set row) and the
-    // broadcast sketch is decoded once per task by the memoized cm_query
+    // DataFrame (never funneled through one collect_set row) and the DECODED
+    // sketch rides an executor broadcast — no per-row sketch bytes
+    val probe = cm_probe(sk)
     val candidates = keyed.select(col("k")).distinct()
-      .crossJoin(broadcast(sk))
-      .filter(cm_query(col("sk"), col("k")) > 45L)
+      .filter(probe(col("k")) > 45L)
       .select(col("k"))
     // phase 2: exact counts for the surviving candidate set only
     keyed.join(broadcast(candidates), Seq("k"), "left_semi")

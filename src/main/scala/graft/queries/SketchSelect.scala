@@ -33,14 +33,19 @@ import graft.sketch.KllSketch
  */
 object SketchSelect {
 
-  /** Exact top-k rows of `df` by (`measureCol` desc, `keyCol` asc). */
-  def topK(df: DataFrame, measureCol: String, keyCol: String, k: Long): DataFrame = {
+  /** Exact top-k rows of `df` by (`measureCol` desc, `keyCol` asc).
+    * `knownN` skips the row count when the caller already has it. */
+  def topK(df: DataFrame, measureCol: String, keyCol: String, k: Long,
+      knownN: Long = -1L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val m = col(measureCol).cast("double")
-    val n = df.count()
+    val n = if (knownN >= 0) knownN else df.count()
     if (k >= n) return df
 
-    val skBytes = df.agg(kll_sketch(m, k = 65536).as("sk"))
+    // k=8192 keeps the per-partition partial buffer small (the sketch only
+    // BRACKETS m*; the validate loop absorbs any rank error, so precision
+    // buys nothing past the slack width)
+    val skBytes = df.agg(kll_sketch(m, k = 8192).as("sk"))
       .head().getAs[Array[Byte]]("sk")
     val kll = KllSketch.deserialize(skBytes)
 

@@ -49,7 +49,7 @@ class AnnSpec extends SparkTestBase {
     assert(randPairs <= 5, s"random bucket collisions: $randPairs/100")
   }
 
-  test("IVF ANN: probed-cluster top-5 achieves decent recall vs brute force") {
+  test("IVF ANN: recall vs brute force on the (isotropic) gate table") {
     val brute = AnnQueries.cosineTopK(spark, sf("sf0.01")).collect()
       .filter(_.getAs[Int]("rn") <= 5)
       .groupBy(_.getAs[Long]("query_id"))
@@ -61,10 +61,40 @@ class AnnSpec extends SparkTestBase {
       ivf.getOrElse(q, Set.empty).intersect(exact).size.toDouble / exact.size
     }
     val avgRecall = recalls.sum / recalls.size
-    // 2-of-10 probed coarse cells on random 64-d vectors: modest but real
-    assert(avgRecall >= 0.3, s"avg IVF recall $avgRecall")
-    // every result IVF returns is a genuine vector with a correct similarity
+    // these embeddings are near-isotropic, so IVF recall tracks scan
+    // fraction (measured grid in the ivfTopK scaladoc); 0.88 at the default
+    assert(avgRecall >= 0.8, s"avg IVF recall $avgRecall")
     assert(ivf.values.forall(_.nonEmpty))
+  }
+
+  test("IVF ANN: recall >= 0.9 at a ~20% scan on cluster-structured embeddings") {
+    // IVF's actual domain: 10 tight clusters; nprobe=2 of 10 lists
+    val rnd = new scala.util.Random(1234)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val brute = (0L until 5L).map { q =>
+      val qv = vecs(q.toInt)._2
+      q -> vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val ivf = AnnQueries.ivfTopKOn(emb, every = 50, nprobe = 2).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = brute.map { case (q, exact) =>
+      ivf.getOrElse(q, Set.empty).intersect(exact).size.toDouble / exact.size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    assert(avgRecall >= 0.9, s"clustered IVF recall $avgRecall")
   }
 
   test("brute-force top-k on testdata matches per-query exact ranking") {
