@@ -85,13 +85,13 @@ object SparkEntry {
     "q42_replicated_min" -> SketchQueries.replicatedMinCm _,
     "q43_halfsketch_max" -> SketchQueries.halfSketchMax _,
     "q44_reroute_delta" -> MetricQueries.rerouteDeltaGate _,
-    "q45_sketchvisor_topk" -> SketchQueries.sketchVisorTopK _
+    "q45_sketchvisor_topk" -> SketchQueries.sketchVisorTopK _,
+    "q46_relerr2" -> MetricQueries.relErr2Gate _
   )
 
-  /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q22
-    * lang-id, q23 winnowing, q26 LSH buckets, q27 stubbed decode) → the
-    * driver records rows-only checks; those operators are asserted in
-    * ScalaTest instead. */
+  /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
+    * winnowing, q26 LSH buckets, q27 stubbed decode) → the driver records
+    * rows-only checks; those operators are asserted in ScalaTest instead. */
   def oracleSql: Map[String, String] = Map(
     "q38_curation_pipeline" ->
       """WITH RECURSIVE toks0 AS (
@@ -457,6 +457,49 @@ object SparkEntry {
     "q45_sketchvisor_topk" ->
       """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count
         |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin,
+
+    // q46: est = exact in the collision-free regime, so the oracle sets
+    // est = true_count and reproduces the full metric pipeline (selection,
+    // k, micro-floored avg) — the rel-err is deterministically 0.
+    "q46_relerr2" ->
+      """WITH perkey AS (
+        |  SELECT event_type AS k, count(*) AS true_count, count(*) AS est
+        |  FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY true_count DESC, k) AS rn,
+        |    count(*) OVER () AS n FROM perkey)
+        |SELECT cast(ceil(0.4 * n) AS bigint) AS k,
+        |  cast(floor(avg(abs(cast(est AS double) - cast(true_count AS double)) /
+        |    cast(true_count AS double)) * 1000000.0) AS bigint) AS avg_rel_err_micro
+        |FROM ranked WHERE rn <= ceil(0.4 * n) GROUP BY n""".stripMargin,
+
+    // q22: the language-ID kernel is pure stopword-fraction argmax with a
+    // lexicographic tie-break — fully expressible in DuckDB, so it gets a
+    // real oracle (list_filter preserves duplicate tokens, matching
+    // TextAnalysis.detectLanguage's count semantics; comparing counts ≡
+    // comparing fractions since the denominator is per-doc constant).
+    "q22_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, len(t) AS n,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein','eine','zu','den','von','mit','auf','für','im','nicht','sich','dem','des'))) AS de_c,
+        |    len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for','on','with','as','are','was','be','this','at','by','or'))) AS en_c,
+        |    len(list_filter(t, x -> x IN ('el','la','los','las','de','y','es','un','una','del','en','que','no','por','con','para','su','al','se'))) AS es_c,
+        |    len(list_filter(t, x -> x IN ('le','la','les','de','des','et','est','un','une','du','en','que','qui','dans','pour','pas','sur','au','ce'))) AS fr_c
+        |  FROM toks),
+        |pick AS (
+        |  SELECT CASE
+        |    WHEN n = 0 OR greatest(de_c, en_c, es_c, fr_c) = 0 THEN 'und'
+        |    WHEN de_c >= en_c AND de_c >= es_c AND de_c >= fr_c THEN 'de'
+        |    WHEN en_c >= es_c AND en_c >= fr_c THEN 'en'
+        |    WHEN es_c >= fr_c THEN 'es'
+        |    ELSE 'fr' END AS lang_pred
+        |  FROM scored)
+        |SELECT lang_pred, count(*) AS n_docs FROM pick
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q25_cosine_neardup" ->
       """WITH pairs AS (

@@ -165,6 +165,25 @@ object MetricQueries {
         .cast("long").as("reduction_micro"))
   }
 
+  /** q46: RelativeError2 (Q4, /root/reference/Simulator/Program.cs:361-376)
+    * as a runnable gate operator: the Q1 metric where the estimate is the
+    * MAX over several sketches — composed exactly as the reference does,
+    * metric ∘ max-combine, by feeding q43's HalfSketch greatest-of-halves
+    * estimates into [[relativeErrorOfTop]]. Collision-free regime at gate
+    * scale ⇒ est is exact ⇒ the oracle reproduces the metric
+    * (deterministically 0) and independently checks the k/selection/avg
+    * plumbing — the same discipline as q03/q40's zero-violation bounds. */
+  def relErr2Gate(spark: SparkSession, sfDir: String): DataFrame = {
+    val est = SketchQueries.halfSketchMax(spark, sfDir)
+    val truth = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("true_count"))
+    val perKey = truth.join(est, Seq("event_type")).select(
+      col("event_type").as("k"), col("true_count"), col("est_count").as("est"))
+      .cache() // the selection makes several passes; build the sketches once
+    relativeErrorOfTop(perKey, 0.4)
+  }
+
   /** q14: the reference's heavy-hitter → downstream-action pipeline shape
     * (/root/reference/Simulator/Program.cs:769-785 → link-load aggregation
     * /root/reference/Simulation/Topology.cs:52-59): take the top-1% orders

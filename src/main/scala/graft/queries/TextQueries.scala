@@ -231,8 +231,9 @@ object TextQueries {
       .orderBy(col("bucket"))
   }
 
-  /** q22: heuristic language-ID distribution (kernel UDF; oracle-less —
-    * covered by TextAnalysisSpec against hand-labeled fixtures). */
+  /** q22: heuristic language-ID distribution (kernel UDF). The stopword
+    * argmax is pure arithmetic, so this has a full DuckDB oracle
+    * (SparkEntry) in addition to TextAnalysisSpec's hand-labeled fixtures. */
   def langIdDistribution(spark: SparkSession, sfDir: String): DataFrame = {
     val langUdf = udf((text: String) => TextAnalysis.detectLanguage(text))
     Tables.documents(spark, sfDir)
