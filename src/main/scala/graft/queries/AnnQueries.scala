@@ -224,24 +224,39 @@ object AnnQueries {
       .agg(max(col("s")).as("s"), first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), (lit(0L) - col("s.ncid")).as("cid"))
 
+  /** Collect a centroid frame to the driver and re-emit it as a leaf-local
+    * DataFrame. Centroids are inherently driver-small — one row per inverted
+    * list (IVF uses ~√n lists; 16k lists × 64 doubles ≈ 8 MB) and they are
+    * broadcast to every executor anyway. Without this, each Lloyd round and
+    * each downstream use (probe crossjoin, assignment join) RE-EVALUATES the
+    * whole uncached k-means lineage — measured 82 s for q39 at sf0.1 vs ~3 s
+    * materialized. */
+  private def materializeCentroids(centroids: DataFrame): DataFrame = {
+    val spark = centroids.sparkSession
+    val rows = centroids.collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), centroids.schema)
+  }
+
   /** Deterministic Lloyd refinement: seed centroids = every `every`-th
     * vector (hash-free, order-stable), then `iters` rounds of
-    * assign → per-dimension mean. Everything distributed: assignment is a
-    * broadcast crossjoin + partial-agg argmax; the recompute is a
-    * posexplode/groupBy over (cid, dim). Empty clusters drop out naturally. */
+    * assign → per-dimension mean. The data passes are distributed
+    * (assignment = broadcast crossjoin + partial-agg argmax; recompute =
+    * posexplode/groupBy over (cid, dim)); only the centroid table itself is
+    * pinned on the driver between rounds. Empty clusters drop out naturally. */
   private def kmeansCentroids(emb: DataFrame, every: Int, iters: Int): DataFrame = {
-    var centroids = emb.filter(col("vec_id") % every === 0)
+    var centroids = materializeCentroids(emb.filter(col("vec_id") % every === 0)
       .select(col("vec_id").as("cid"),
-        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+        transform(col("embedding"), x => x.cast("double")).as("cvec")))
     for (_ <- 1 to iters) {
       val assigned = assignNearest(emb, centroids)
-      centroids = assigned
+      centroids = materializeCentroids(assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("x").cast("double")).as("m"))
         .groupBy(col("cid"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ord"))
-        .select(col("cid"), expr("transform(ord, e -> e.m)").as("cvec"))
+        .select(col("cid"), expr("transform(ord, e -> e.m)").as("cvec")))
     }
     centroids
   }

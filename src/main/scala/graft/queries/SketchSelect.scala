@@ -33,11 +33,30 @@ import graft.sketch.KllSketch
  */
 object SketchSelect {
 
+  /** Above this k the sketch-guided path replaces TakeOrdered. Below it the
+    * exact limit is the RIGHT plan at any data scale: LocalLimit keeps ≤ k
+    * rows per partition, so the single merge task sees ≤ P·k narrow rows
+    * (P=2000, k=4096 → 8M rows ≈ tens of MB) — the funnel the sketch path
+    * exists to avoid only forms when k itself is huge (θ·N at 10⁹ keys).
+    * The cutover also matters in reverse: the sketch path costs ~4 driver
+    * actions (KLL build, bracket validate, histogram, final), pure overhead
+    * when k is small. */
+  val ExactLimitMaxK = 4096L
+
   /** Exact top-k rows of `df` by (`measureCol` desc, `keyCol` asc).
     * `knownN` skips the row count when the caller already has it. */
   def topK(df: DataFrame, measureCol: String, keyCol: String, k: Long,
       knownN: Long = -1L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    if (k <= ExactLimitMaxK)
+      df.orderBy(col(measureCol).cast("double").desc, col(keyCol).asc).limit(k.toInt)
+    else sketchTopK(df, measureCol, keyCol, k, knownN)
+  }
+
+  /** The sketch-guided path, selectable directly for tests; callers use
+    * [[topK]], which dispatches on k. */
+  private[queries] def sketchTopK(df: DataFrame, measureCol: String,
+      keyCol: String, k: Long, knownN: Long = -1L): DataFrame = {
     val m = col(measureCol).cast("double")
     val n = if (knownN >= 0) knownN else df.count()
     if (k >= n) return df

@@ -54,9 +54,16 @@ object TextQueries {
       while (it.hasNext) { hashes(i) = XxHash64.hashString(it.next(), ShingleHashSeed); i += 1 }
       (MinHash.bandHashes(MinHash.signature(sh, MinhashK), Bands, RowsPerBand), hashes)
     })
+    // persisted: the plan references the signature table from THREE branches
+    // (both sides of the bucket self-join + the verify-stage sets); without
+    // it Spark re-runs the 128-hash MinHash UDF per branch — measured as
+    // most of q16's 18 s at sf0.1. The persisted projection is signatures
+    // only (no text), ~1 KB/doc; MEMORY_AND_DISK so a 100× corpus spills
+    // instead of evicting.
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), sigUdf(col("text")).as("mh"))
       .select(col("doc_id"), col("mh._1").as("bands"), col("mh._2").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** q16: MinHash-LSH near-duplicate pairs, exact-Jaccard verified at τ=0.5
@@ -101,8 +108,11 @@ object TextQueries {
     * kernel, this exercises the distributed plan. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val shUdf = udf((text: String) => TextAnalysis.simhash(text))
+    // persisted for the same reason as minhashDocs: both self-join branches
+    // reference it, and the 64-bit signature is ~12 bytes/doc
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), shUdf(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = docs.select(col("doc_id"), col("sh"),
       explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("blk_val", expr("(sh >> (blk * 16)) & 65535"))

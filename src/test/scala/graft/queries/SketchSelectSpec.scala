@@ -18,7 +18,7 @@ class SketchSelectSpec extends SparkTestBase {
       .map(i => (s"key$i", math.max(1L, (5000.0 / i).toLong)))
       .toDF("k", "true_count").repartition(8).cache()
     for (k <- Seq(1L, 7L, 50L, 499L, 2500L, 4999L, 5000L, 6000L)) {
-      val got = SketchSelect.topK(perKey, "true_count", "k", k)
+      val got = SketchSelect.sketchTopK(perKey, "true_count", "k", k)
         .select("k").as[String].collect().sorted
       val want = perKey.orderBy(desc("true_count"), asc("k")).limit(math.min(k, 5000L).toInt)
         .select("k").as[String].collect().sorted
@@ -33,7 +33,7 @@ class SketchSelectSpec extends SparkTestBase {
       .map(i => (s"o$i", math.sin(i.toDouble) * 1000.0 + i * 0.001))
       .toDF("k", "m").repartition(8).cache()
     for (k <- Seq(1L, 30L, 1500L, 2999L)) {
-      val got = SketchSelect.topK(perKey, "m", "k", k)
+      val got = SketchSelect.sketchTopK(perKey, "m", "k", k)
         .select("k").as[String].collect().sorted
       val want = perKey.orderBy(desc("m"), asc("k")).limit(k.toInt)
         .select("k").as[String].collect().sorted
@@ -42,10 +42,25 @@ class SketchSelectSpec extends SparkTestBase {
     perKey.unpersist()
   }
 
+  test("topK dispatch: exact-limit plan below the cutover, sketch path above") {
+    val perKey = (1 to 9000).map(i => (s"key$i", (9000 - i).toLong))
+      .toDF("k", "true_count").repartition(8).cache()
+    val small = SketchSelect.topK(perKey, "true_count", "k", 10L)
+      .select("k").as[String].collect().sorted
+    assert(small.toSeq === (1 to 10).map(i => s"key$i").sorted.toSeq)
+    assert(5000L > SketchSelect.ExactLimitMaxK) // stays on the sketch path
+    val big = SketchSelect.topK(perKey, "true_count", "k", 5000L)
+      .select("k").as[String].collect().sorted
+    val want = perKey.orderBy(desc("true_count"), asc("k")).limit(5000)
+      .select("k").as[String].collect().sorted
+    assert(big.toSeq === want.toSeq)
+    perKey.unpersist()
+  }
+
   test("selected plan has no full-width global sort of the input") {
     val perKey = (1 to 2000).map(i => (s"key$i", (i % 37).toLong))
       .toDF("k", "true_count").cache()
-    val plan = SketchSelect.topK(perKey, "true_count", "k", 200L)
+    val plan = SketchSelect.sketchTopK(perKey, "true_count", "k", 200L)
       .queryExecution.executedPlan.toString
     // the only TakeOrdered allowed is over the tie plateau, never a global
     // Sort + Limit of the full input
