@@ -86,7 +86,8 @@ object SparkEntry {
     "q43_halfsketch_max" -> SketchQueries.halfSketchMax _,
     "q44_reroute_delta" -> MetricQueries.rerouteDeltaGate _,
     "q45_sketchvisor_topk" -> SketchQueries.sketchVisorTopK _,
-    "q46_relerr2" -> MetricQueries.relErr2Gate _
+    "q46_relerr2" -> MetricQueries.relErr2Gate _,
+    "q47_stratified_sample" -> TextQueries.stratifiedSample _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
@@ -472,6 +473,20 @@ object SparkEntry {
         |  cast(floor(avg(abs(cast(est AS double) - cast(true_count AS double)) /
         |    cast(true_count AS double)) * 1000000.0) AS bigint) AS avg_rel_err_micro
         |FROM ranked WHERE rn <= ceil(0.4 * n) GROUP BY n""".stripMargin,
+
+    // q47: md5 hashes identically in both engines (bytes in, lowercase hex
+    // out), so the deterministic per-language sample is fully mirrored; the
+    // oracle ranks the whole stratum while Spark ranks only the verified
+    // hash-cutoff survivors — same exact top-k either way.
+    "q47_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_sampled,
+        |  cast(sum(n_chars) AS bigint) AS sample_chars
+        |FROM ranked WHERE rn <= 20 GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q22: the language-ID kernel is pure stopword-fraction argmax with a
     // lexicographic tie-break — fully expressible in DuckDB, so it gets a

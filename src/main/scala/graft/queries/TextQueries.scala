@@ -252,6 +252,60 @@ object TextQueries {
       .orderBy(col("lang_pred"))
   }
 
+  /** q47: deterministic stratified (per-language) uniform sample — the
+    * training-mix builder's primitive (pick k docs per stratum uniformly,
+    * reproducibly, with no RNG state). Sampling priority = md5 of the doc
+    * id: identical bytes-in/hex-out in Spark and DuckDB (→ full oracle) and
+    * uniform over the hash space (→ a uniform sample with a seedless,
+    * stable derivation — re-runs and backfills pick the SAME docs).
+    *
+    * Scale shape: per-group top-k never window-sorts whole strata. A
+    * counted hash cutoff (margin·k/N_g of the 32-bit prefix space) admits
+    * ~margin·k survivors per stratum first; because fixed-width lowercase
+    * hex compares stringwise exactly as the 128-bit value, every survivor
+    * precedes every non-survivor in priority order, so survivors ⊇ exact
+    * top-k whenever each stratum keeps ≥ min(k, N_g) — validated with one
+    * count, margin ×4 on failure (the same cheap-pass-then-verify
+    * discipline as SketchSelect; /root/reference/Simulation/FilteredSketch.cs
+    * pre-filter shape). Only the ~margin·k survivors enter the rank. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 20L
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        md5(col("doc_id").cast("string").cast("binary")).as("pri"))
+      .withColumn("pri32", conv(substring(col("pri"), 1, 8), 16, 10).cast("long"))
+      .cache()
+    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_g"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var margin = 8L
+    var survivors: DataFrame = null
+    var ok = false
+    while (!ok) {
+      val m = margin
+      // double arithmetic: the cutoff only needs to be ~margin·k/N_g of the
+      // prefix space (the validate pass makes it exact), and 2³²·m·k
+      // overflows long at large strata
+      val cuts = totals.map { case (g, n) =>
+        (g, if (m * k >= n) 1L << 32
+            else math.min(1L << 32, ((1L << 32).toDouble * m * k / n).toLong + 1L))
+      }
+      val cutoffDf = spark.createDataFrame(cuts.toIndexedSeq).toDF("lang", "cut")
+      survivors = docs.join(broadcast(cutoffDf), Seq("lang"))
+        .filter(col("pri32") < col("cut"))
+      val got = survivors.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      ok = totals.forall { case (g, n) => got.getOrElse(g, 0L) >= math.min(k, n) }
+      if (!ok) margin *= 4
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("pri").asc, col("doc_id").asc)
+    survivors.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sample_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q23: winnowing fingerprint census per document (oracle-less kernel op;
     * the shared-fingerprint join is the plagiarism/near-dup scale path). */
   def fingerprintCensus(spark: SparkSession, sfDir: String): DataFrame = {

@@ -22,6 +22,21 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("stratified sample equals the naive full-stratum rank (q47)") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val got = graft.queries.TextQueries.stratifiedSample(spark, dir).collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc, col("doc_id").asc)
+    val want = graft.queries.Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sample_chars"))
+      .orderBy(col("lang")).collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("multimodal feature extraction is deterministic and schema-stable") {
     val a = Multimodal.featureCensus(spark, sf("sf0.001")).collect()
     val b = Multimodal.featureCensus(spark, sf("sf0.001")).collect()
