@@ -91,8 +91,9 @@ object SparkEntry {
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
-    * winnowing, q26 LSH buckets, q27 stubbed decode) → the driver records
-    * rows-only checks; those operators are asserted in ScalaTest instead. */
+    * winnowing, q26 LSH buckets) and the approximate/order-sensitive pair
+    * (q39 IVF, q32 CountMax) → the driver records rows-only checks; those
+    * operators are asserted in ScalaTest instead. */
   def oracleSql: Map[String, String] = Map(
     "q38_curation_pipeline" ->
       """WITH RECURSIVE toks0 AS (
@@ -487,6 +488,21 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_sampled,
         |  cast(sum(n_chars) AS bigint) AS sample_chars
         |FROM ranked WHERE rn <= 20 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q27: the decode is stubbed, but modality routing and frame sampling
+    // are pure arithmetic on (doc_id, duration) — mirrored exactly; the
+    // stub feature checksum lives in featureCensusWithChecksum + ScalaTest.
+    "q27_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS modality,
+        |    CASE WHEN doc_id % 3 = 2 THEN least(8, doc_id % 10 + 1)
+        |      ELSE 1 END AS n_frames
+        |  FROM documents)
+        |SELECT modality, count(*) AS n_media,
+        |  cast(sum(n_frames) AS bigint) AS total_frames
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q22: the language-ID kernel is pure stopword-fraction argmax with a
     // lexicographic tie-break — fully expressible in DuckDB, so it gets a

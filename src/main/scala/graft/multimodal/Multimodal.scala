@@ -97,10 +97,24 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** q27: feature-extraction census per modality (oracle-less: the decode is
-    * a stub; the Spark plumbing — schema, batching, frame sampling — is what
-    * this exercises, plus determinism via the feature checksum). */
+  /** q27: feature-extraction census per modality. The decode itself is a
+    * stub, but the PLUMBING this query exercises — typed schema, binary
+    * payloads, per-partition batching, frame sampling — is deterministic
+    * arithmetic, so those columns ARE oracle-checked against DuckDB
+    * (SparkEntry); the stub-derived feature values are pinned separately by
+    * [[featureCensusWithChecksum]] in QueriesSmokeSpec. */
   def featureCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = extractFeatures(synthesize(spark, sfDir))
+    feats.toDF()
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_frames").cast("long")).as("total_frames"))
+      .orderBy(col("modality"))
+  }
+
+  /** The census plus the xxhash-stub feature checksum (not SQL-mirrorable;
+    * determinism asserted in ScalaTest). */
+  def featureCensusWithChecksum(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = extractFeatures(synthesize(spark, sfDir))
     feats.toDF()
       .groupBy(col("modality"))

@@ -38,8 +38,8 @@ class QueriesSmokeSpec extends SparkTestBase {
   }
 
   test("multimodal feature extraction is deterministic and schema-stable") {
-    val a = Multimodal.featureCensus(spark, sf("sf0.001")).collect()
-    val b = Multimodal.featureCensus(spark, sf("sf0.001")).collect()
+    val a = Multimodal.featureCensusWithChecksum(spark, sf("sf0.001")).collect()
+    val b = Multimodal.featureCensusWithChecksum(spark, sf("sf0.001")).collect()
     assert(a.toSeq === b.toSeq)
     assert(a.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
     // frame sampling: videos contribute >1 frame on average
