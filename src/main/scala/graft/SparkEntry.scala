@@ -87,7 +87,8 @@ object SparkEntry {
     "q44_reroute_delta" -> MetricQueries.rerouteDeltaGate _,
     "q45_sketchvisor_topk" -> SketchQueries.sketchVisorTopK _,
     "q46_relerr2" -> MetricQueries.relErr2Gate _,
-    "q47_stratified_sample" -> TextQueries.stratifiedSample _
+    "q47_stratified_sample" -> TextQueries.stratifiedSample _,
+    "q48_pack_windows" -> TextQueries.packWindows _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
@@ -488,6 +489,39 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_sampled,
         |  cast(sum(n_chars) AS bigint) AS sample_chars
         |FROM ranked WHERE rn <= 20 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q48: the greedy pack is replayed sequentially per (lang, chunk) by a
+    // recursive CTE — rn-ordered state carry, same overfill rule for docs
+    // larger than the 8192-char capacity; the float fill average divides in
+    // the same order as the Spark expression.
+    "q48_pack_windows" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT lang, cast(floor(doc_id / 100) AS bigint) AS chunk, n_chars,
+        |    row_number() OVER (PARTITION BY lang, cast(floor(doc_id / 100) AS bigint)
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT lang, chunk, rn, n_chars AS fill,
+        |    cast(1 AS bigint) AS wid, n_chars AS chars
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.lang, s.chunk, s.rn,
+        |    CASE WHEN p.fill + s.n_chars > 8192 THEN s.n_chars
+        |      ELSE p.fill + s.n_chars END,
+        |    CASE WHEN p.fill + s.n_chars > 8192 THEN p.wid + 1 ELSE p.wid END,
+        |    p.chars + s.n_chars
+        |  FROM pack p JOIN seq s
+        |    ON s.lang = p.lang AND s.chunk = p.chunk AND s.rn = p.rn + 1),
+        |per_chunk AS (
+        |  SELECT lang, chunk, max(rn) AS ndocs,
+        |    max_by(wid, rn) AS wins, max_by(chars, rn) AS chars
+        |  FROM pack GROUP BY 1, 2)
+        |SELECT lang, cast(sum(ndocs) AS bigint) AS n_docs,
+        |  cast(sum(wins) AS bigint) AS n_windows,
+        |  cast(floor(cast(sum(chars) AS double) /
+        |    (cast(sum(wins) AS double) * 8192) * 1000000.0) AS bigint)
+        |    AS avg_fill_micro
+        |FROM per_chunk GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q27: the decode is stubbed, but modality routing and frame sampling
     // are pure arithmetic on (doc_id, duration) — mirrored exactly; the

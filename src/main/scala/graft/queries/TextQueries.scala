@@ -306,6 +306,70 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** q48 capacity: context-window budget in characters (a char proxy keeps
+    * both engines exact; swap in token counts for a real tokenizer). */
+  private val PackCapacity = 8192L
+
+  /** q48 chunk span: docs per deterministic packing chunk. */
+  private val PackSpan = 100L
+
+  /** q48: deterministic sequence packing — greedy first-fit-in-order of
+    * documents into fixed-capacity context windows (the pretraining
+    * batch-builder step), reported per language as window count and fill.
+    *
+    * Greedy packing is inherently sequential, so the stream is cut into
+    * DETERMINISTIC chunks (lang, doc_id div span) packed independently:
+    * chunk boundaries are data-defined, not partition-defined, so the
+    * result is engine-reproducible (recursive-CTE oracle) and the plan is
+    * embarrassingly parallel — each (lang, chunk) packs in isolation with
+    * at most one partially-filled window of boundary waste, amortized away
+    * as span ≫ capacity/avg-doc. A doc larger than the capacity gets its
+    * own (overfilled) window. At 100 TB: repartition on (lang, chunk) keys
+    * spreads uniformly (chunk is dense), the packer is a single streaming
+    * pass per partition with O(1) state, and the output is one row per
+    * chunk — nothing accumulates. */
+  def packWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        floor(col("doc_id") / PackSpan).cast("long").as("chunk"),
+        col("doc_id"), col("n_chars"))
+    val packed = docs
+      .repartition(col("lang"), col("chunk"))
+      .sortWithinPartitions(col("lang"), col("chunk"), col("doc_id"))
+      .select(col("lang"), col("chunk"), col("n_chars"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        // sequential greedy pack; state resets at each (lang, chunk) group
+        // boundary (groups are contiguous after the sort above)
+        var curLang: String = null
+        var curChunk = 0L
+        var started = false
+        var fill = 0L; var windows = 0L; var nDocs = 0L; var chars = 0L
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
+        def flush(): Unit =
+          if (started) out += ((curLang, curChunk, nDocs, windows, chars))
+        it.foreach { case (lang, chunk, n) =>
+          if (!started || lang != curLang || chunk != curChunk) {
+            flush(); curLang = lang; curChunk = chunk; started = true
+            fill = 0L; windows = 0L; nDocs = 0L; chars = 0L
+          }
+          nDocs += 1; chars += n
+          if (windows == 0L || fill + n > PackCapacity) { windows += 1; fill = n }
+          else fill += n
+        }
+        flush()
+        out.iterator
+      }.toDF("lang", "chunk", "n_docs", "n_windows", "chars")
+    packed.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_windows")).as("n_windows"),
+        floor(sum(col("chars")).cast("double") /
+          (sum(col("n_windows")).cast("double") * PackCapacity) * 1000000.0)
+          .cast("long").as("avg_fill_micro"))
+      .orderBy(col("lang"))
+  }
+
   /** q23: winnowing fingerprint census per document (oracle-less kernel op;
     * the shared-fingerprint join is the plagiarism/near-dup scale path). */
   def fingerprintCensus(spark: SparkSession, sfDir: String): DataFrame = {

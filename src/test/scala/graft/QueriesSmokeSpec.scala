@@ -37,6 +37,32 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("pack windows equals a driver-side sequential pack (q48)") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val got = graft.queries.TextQueries.packWindows(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val C = 8192L
+    val rows = graft.queries.Tables.documents(spark, dir)
+      .select(col("lang"), floor(col("doc_id") / 100).cast("long").as("chunk"),
+        col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perLang = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, rs) =>
+      var docs = 0L; var wins = 0L; var chars = 0L
+      rs.groupBy(_._2).foreach { case (_, chunkRows) =>
+        var fill = 0L; var w = 0L
+        chunkRows.sortBy(_._3).foreach { case (_, _, _, n) =>
+          docs += 1; chars += n
+          if (w == 0L || fill + n > C) { w += 1; fill = n } else fill += n
+        }
+        wins += w
+      }
+      (lang, docs, wins,
+        math.floor(chars.toDouble / (wins.toDouble * C) * 1000000.0).toLong)
+    }
+    assert(got === perLang)
+  }
+
   test("multimodal feature extraction is deterministic and schema-stable") {
     val a = Multimodal.featureCensusWithChecksum(spark, sf("sf0.001")).collect()
     val b = Multimodal.featureCensusWithChecksum(spark, sf("sf0.001")).collect()
