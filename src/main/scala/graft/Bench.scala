@@ -22,13 +22,29 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** One untimed warm run, then best of three: the warm run absorbs the
-    * path's own codegen/JIT debt so numbers are insensitive to the ORDER the
-    * paths are measured in (round-1 had native-vs-udaf inverted between
-    * Bench and ScalingBench purely from warmup ordering). */
+  /** Measure every path with one untimed warm run (absorbs codegen/JIT debt
+    * so numbers are order-insensitive), then INTERLEAVED cycles — each cycle
+    * times every path once, best-of-cycles per path. Interleaving matters on
+    * this shared VM: external load arrives in bursts of minutes, so three
+    * back-to-back reps of one path can ALL land inside a burst (observed:
+    * one path 8× slow while its neighbors were nominal); spreading a path's
+    * samples across the full measurement window makes the min robust. */
+  /** One untimed warm run then best-of-3 — for single-path tools
+    * (ScanScale etc.); the main bench uses [[timeAllInterleaved]]. */
   def timeBest[T](f: => T): Double = {
     f
     Seq(time(f)._2, time(f)._2, time(f)._2).min
+  }
+
+  def timeAllInterleaved(paths: Seq[(String, () => Unit)], cycles: Int = 3)
+      : Map[String, Double] = {
+    paths.foreach(_._2()) // warm
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to cycles; (name, f) <- paths) {
+      val sec = time(f())._2
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+    }
+    best.toMap
   }
 
   /** CM/TopK/HLL build throughput over `rows` generated corpus rows.
@@ -46,42 +62,28 @@ object Bench {
     // drain the generation garbage (80M-row string churn) before timing —
     // otherwise the first measured stage absorbs the collection
     System.gc()
-    val cmSec = timeBest {
-      corpus.agg(cm_sketch(col("token"), col("weight"), eps = eps)).head()
-    }
     graft.agg.NativeCountMinAgg.register(spark, eps = eps)
     corpus.createOrReplaceTempView("bench_corpus_v")
-    val cmNativeSec = timeBest {
-      spark.sql("SELECT cm_sketch_fast(token, weight) FROM bench_corpus_v").head()
-    }
-    val topkSec = timeBest {
-      corpus.agg(cm_topk(col("token"), lit(1L), capacity = 4096, eps = eps)).head()
-    }
-    val hllSec = timeBest {
-      corpus.agg(hll_sketch(col("token"), p = 14)).head()
-    }
-    val kllSec = timeBest {
-      corpus.agg(kll_sketch(col("weight").cast("double"), k = 200)).head()
-    }
-    // platform baseline: pure whole-stage-codegen scan+hash aggregate over
-    // the same cache - zero sketch code; what the VM's Spark pipeline can do
-    val scanSec = timeBest {
-      corpus.agg(expr("bit_xor(xxhash64(token))")).head()
-    }
+    val paths: Seq[(String, () => Unit)] = Seq(
+      "cm_build" -> (() =>
+        corpus.agg(cm_sketch(col("token"), col("weight"), eps = eps)).head()),
+      "cm_native_build" -> (() =>
+        spark.sql("SELECT cm_sketch_fast(token, weight) FROM bench_corpus_v").head()),
+      "topk_build" -> (() =>
+        corpus.agg(cm_topk(col("token"), lit(1L), capacity = 4096, eps = eps)).head()),
+      "hll_build" -> (() =>
+        corpus.agg(hll_sketch(col("token"), p = 14)).head()),
+      "kll_build" -> (() =>
+        corpus.agg(kll_sketch(col("weight").cast("double"), k = 200)).head()),
+      // platform baseline: pure whole-stage-codegen scan+hash aggregate over
+      // the same cache - zero sketch code; what the VM's Spark pipeline can do
+      "scan_baseline" -> (() =>
+        corpus.agg(expr("bit_xor(xxhash64(token))")).head()))
+    val secs = timeAllInterleaved(paths)
     corpus.unpersist()
-    Map(
-      "cm_build_sec" -> cmSec,
-      "cm_build_mrows_per_sec" -> rows / cmSec / 1e6,
-      "cm_native_build_sec" -> cmNativeSec,
-      "cm_native_build_mrows_per_sec" -> rows / cmNativeSec / 1e6,
-      "topk_build_sec" -> topkSec,
-      "topk_build_mrows_per_sec" -> rows / topkSec / 1e6,
-      "hll_build_sec" -> hllSec,
-      "hll_build_mrows_per_sec" -> rows / hllSec / 1e6,
-      "kll_build_sec" -> kllSec,
-      "kll_build_mrows_per_sec" -> rows / kllSec / 1e6,
-      "scan_baseline_sec" -> scanSec,
-      "scan_baseline_mrows_per_sec" -> rows / scanSec / 1e6)
+    secs.flatMap { case (name, sec) =>
+      Seq(s"${name}_sec" -> sec, s"${name}_mrows_per_sec" -> rows / sec / 1e6)
+    }
   }
 
   def session(cpus: String): SparkSession = SparkSession.builder()
