@@ -164,6 +164,10 @@ object TextQueries {
             slice(split(col("text"), " "), lit(2), size(split(col("text"), " ")) - 1),
             (x, y) => concat_ws(" ", x, y)),
           b => xxhash64(b))).as("bigrams"))
+      // persisted: referenced by the df-count pass, the prefix pass and both
+      // verify branches — uncached, the split/zip/hash tower re-runs per
+      // branch (the q16 disease)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = docs.select(col("source"), col("doc_id"), explode(col("bigrams")).as("bg"))
     val dfreq = ex.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     // prefix tokens per doc under the global (df, bg) order
@@ -173,6 +177,9 @@ object TextQueries {
       .select(col("source"), col("doc_id"), size(col("ord")).as("n"),
         expr("slice(transform(ord, x -> x.bg), 1, size(ord) - ((size(ord) + 19) div 20) + 1)")
           .as("pref"))
+      // persisted: both sides of the prefix self-join read it, and alias
+      // renames keep Spark's ReuseExchange from deduplicating the shuffle
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pe = prefixes.select(col("source"), col("doc_id"), col("n"),
       explode(col("pref")).as("bg"))
     val candidateIds = pe.select(col("source"), col("bg"), col("doc_id").as("id_a"), col("n").as("na"))
