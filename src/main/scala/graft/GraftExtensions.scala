@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.agg.{CmQuerySketch, CmTotalSketch, NativeCountMinAgg}
+import graft.sketch.CountMinSketch
+
+/**
+ * SparkSessionExtensions entry point — the idiomatic spark-submit wiring
+ * for the native sketch surface:
+ *
+ * {{{
+ * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+ * }}}
+ *
+ * injects the SQL functions
+ *  - `cm_sketch_fast(key, weight[, eps[, delta[, seed]]])` → BINARY
+ *    (the [[graft.agg.NativeCountMinAgg]] build aggregate; eps/delta/seed
+ *    as foldable numeric literals),
+ *  - `cm_query_sketch(sketch, key)` → BIGINT point estimate,
+ *  - `cm_total_sketch(sketch)` → BIGINT total weight N,
+ * so pure-SQL users (thriftserver, SQL files) get the sketch library with
+ * no Scala imports. [[GraftExtensions.install]] registers the same
+ * builders into an already-running session.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functionDescriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def foldNum(e: Expression, name: String): Double = {
+    require(e.foldable, s"cm_sketch_fast: $name must be a literal")
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"cm_sketch_fast: $name must be numeric, got $other")
+    }
+  }
+
+  private def buildCmSketchFast(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 2 && exprs.length <= 5,
+      "usage: cm_sketch_fast(key, weight[, eps[, delta[, seed]]])")
+    val eps = if (exprs.length > 2) foldNum(exprs(2), "eps") else 1e-4
+    val delta = if (exprs.length > 3) foldNum(exprs(3), "delta") else 0.01
+    val seed = if (exprs.length > 4) foldNum(exprs(4), "seed").toLong
+      else CountMinSketch.DefaultSeed
+    NativeCountMinAgg(exprs.head, exprs(1), eps, delta, seed)
+  }
+
+  /** (identifier, info, builder) triples — shared by the extensions path
+    * (injectFunction at session build) and [[install]] (live session). */
+  val functionDescriptions
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cm_sketch_fast"),
+      new ExpressionInfo(classOf[NativeCountMinAgg].getName, "cm_sketch_fast"),
+      buildCmSketchFast _),
+    (FunctionIdentifier("cm_query_sketch"),
+      new ExpressionInfo(classOf[CmQuerySketch].getName, "cm_query_sketch"),
+      exprs => {
+        require(exprs.length == 2, "usage: cm_query_sketch(sketch, key)")
+        CmQuerySketch(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("cm_total_sketch"),
+      new ExpressionInfo(classOf[CmTotalSketch].getName, "cm_total_sketch"),
+      exprs => {
+        require(exprs.length == 1, "usage: cm_total_sketch(sketch)")
+        CmTotalSketch(exprs.head)
+      }))
+
+  /** Register the same functions into an already-running session. */
+  def install(spark: SparkSession): Unit =
+    functionDescriptions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}

@@ -1,0 +1,71 @@
+package graft.agg
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sketch.{CountMinSketch, Hash128}
+
+/**
+ * Native scalar Catalyst expressions over serialized sketches — the SQL
+ * probe surface that pairs with [[NativeCountMinAgg]] (the build surface).
+ *
+ * Versus the `functions.udf` probes in [[SketchFunctions]] (which stay the
+ * Scala-API default): no encoder round-trip — the key is hashed straight
+ * from its `UTF8String` bytes (zero-copy, the same double-hash halves the
+ * native aggregate uses, parity pinned in HashingSpec) and mistyped SQL
+ * fails at analysis rather than execution. Decoding is amortized by the
+ * same thread-local memo as the UDF path, so repeated probes of one
+ * broadcast sketch deserialize once per thread, not once per row.
+ *
+ * CodegenFallback is deliberate: the eval is one memo lookup + two XXH64
+ * calls + a d-step min-loop; fallback costs one virtual call per row and
+ * keeps the expression version-portable (no generated-source maintenance).
+ */
+case class CmQuerySketch(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cm_query_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cm_query_sketch expects (BINARY sketch, STRING key), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override protected def nullSafeEval(sk: Any, key: Any): Any = {
+    val cm = SketchFunctions.decodeCmMemoized(sk.asInstanceOf[Array[Byte]])
+    val utf8 = key.asInstanceOf[UTF8String]
+    val h1 = XXH64.hashUnsafeBytes(
+      utf8.getBaseObject, utf8.getBaseOffset, utf8.numBytes, cm.seed ^ Hash128.Seed1)
+    val h2 = XXH64.hashUnsafeBytes(
+      utf8.getBaseObject, utf8.getBaseOffset, utf8.numBytes, cm.seed ^ Hash128.Seed2)
+    cm.query(Hash128(h1, h2))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmQuerySketch =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Total stream weight N recorded in a serialized CM sketch (ε·N bounds). */
+case class CmTotalSketch(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cm_total_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cm_total_sketch expects BINARY, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(sk: Any): Any =
+    SketchFunctions.decodeCmMemoized(sk.asInstanceOf[Array[Byte]]).totalWeight
+
+  override protected def withNewChildInternal(newChild: Expression): CmTotalSketch =
+    copy(child = newChild)
+}

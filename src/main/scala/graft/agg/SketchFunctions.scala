@@ -68,6 +68,12 @@ object SketchFunctions {
   }
 
   private val cmMemo = new SketchMemo[CountMinSketch]
+
+  /** Memoized CM decode for the native scalar expressions
+    * ([[CmQuerySketch]]/[[CmTotalSketch]]) — same thread-local memo as the
+    * UDF probes, so both surfaces share amortization. */
+  private[agg] def decodeCmMemoized(bytes: Array[Byte]): CountMinSketch =
+    cmMemo.get(bytes, CountMinSketch.deserialize)
   private val csMemo = new SketchMemo[CountSketch]
   private val mgMemo = new SketchMemo[MisraGries]
   private val fssMemo = new SketchMemo[FilteredSpaceSaving]

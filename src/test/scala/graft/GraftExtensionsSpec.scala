@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import graft.agg.SketchFunctions._
+
+/** The SQL function surface (GraftExtensions): native build + native scalar
+  * probes must agree bit-exactly with the Scala-API udaf/udf paths, and
+  * mistyped SQL must fail at analysis. */
+class GraftExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val installed: Unit = GraftExtensions.install(spark)
+
+  private def fixture(): Unit = {
+    val df = Seq.tabulate(5000)(i => (s"k${i % 37}", 1L + (i % 3))).toDF("k", "w")
+    df.createOrReplaceTempView("ext_fixture")
+  }
+
+  test("cm_query_sketch over cm_sketch_fast == udaf build + udf probe") {
+    installed; fixture()
+    val sqlRows = spark.sql(
+      """SELECT cm_query_sketch(sk, 'k1') AS est, cm_total_sketch(sk) AS n
+        |FROM (SELECT cm_sketch_fast(k, w) AS sk FROM ext_fixture)""".stripMargin)
+      .head()
+    val df = spark.table("ext_fixture")
+    val scalaRow = df.agg(cm_sketch(col("k"), col("w"), eps = 1e-4).as("sk"))
+      .select(cm_query(col("sk"), lit("k1")).as("est"), cm_total(col("sk")).as("n"))
+      .head()
+    assert(sqlRows.getLong(0) === scalaRow.getLong(0))
+    assert(sqlRows.getLong(1) === scalaRow.getLong(1))
+    // exact regime sanity: 37 keys vs width 2^15 — the estimate is exact
+    val truth = df.filter(col("k") === "k1").agg(sum("w")).head().getLong(0)
+    assert(sqlRows.getLong(0) === truth)
+  }
+
+  test("literal eps/delta/seed arguments change the sketch deterministically") {
+    installed; fixture()
+    val a = spark.sql(
+      """SELECT cm_query_sketch(sk, 'k2') FROM
+        |(SELECT cm_sketch_fast(k, w, 1e-3, 0.01, 42) AS sk FROM ext_fixture)""".stripMargin)
+      .head().getLong(0)
+    val b = df_with_seed(42L)
+    assert(a === b)
+    val truth = spark.table("ext_fixture")
+      .filter(col("k") === "k2").agg(sum("w")).head().getLong(0)
+    assert(a === truth) // still exact at width 2^12 vs 37 keys
+  }
+
+  private def df_with_seed(seed: Long): Long =
+    spark.table("ext_fixture")
+      .agg(cm_sketch(col("k"), col("w"), eps = 1e-3, seed = seed).as("sk"))
+      .select(cm_query(col("sk"), lit("k2"))).head().getLong(0)
+
+  test("mistyped SQL fails at analysis, not execution") {
+    installed; fixture()
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT cm_query_sketch(1, 'a')").collect()
+    }
+    assert(e1.getMessage.contains("cm_query_sketch"))
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT cm_sketch_fast(w, w) FROM ext_fixture").collect()
+    }
+    assert(e2.getMessage.contains("cm_sketch_fast"))
+  }
+
+  test("extensions class injects without error (spark-submit wiring)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must register all builders cleanly
+  }
+}
