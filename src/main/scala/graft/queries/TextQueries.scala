@@ -347,23 +347,25 @@ object TextQueries {
       .select(col("lang"), col("chunk"), col("n_chars"))
       .as[(String, Long, Long)]
       .mapPartitions { it =>
-        // sequential greedy pack; state resets at each (lang, chunk) group
-        // boundary (groups are contiguous after the sort above)
+        // sequential greedy pack via the pure GreedyPacker kernel
+        // (property-tested in PackingKernelSpec); groups are contiguous
+        // after the sort above, and a group buffers at most PackSpan sizes
         var curLang: String = null
         var curChunk = 0L
         var started = false
-        var fill = 0L; var windows = 0L; var nDocs = 0L; var chars = 0L
+        val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
-        def flush(): Unit =
-          if (started) out += ((curLang, curChunk, nDocs, windows, chars))
+        def flush(): Unit = if (started) {
+          val arr = sizes.toArray
+          out += ((curLang, curChunk, arr.length.toLong,
+            graft.text.GreedyPacker.windowCount(arr, PackCapacity), arr.sum))
+        }
         it.foreach { case (lang, chunk, n) =>
           if (!started || lang != curLang || chunk != curChunk) {
             flush(); curLang = lang; curChunk = chunk; started = true
-            fill = 0L; windows = 0L; nDocs = 0L; chars = 0L
+            sizes.clear()
           }
-          nDocs += 1; chars += n
-          if (windows == 0L || fill + n > PackCapacity) { windows += 1; fill = n }
-          else fill += n
+          sizes += n
         }
         flush()
         out.iterator
