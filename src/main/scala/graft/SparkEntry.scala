@@ -88,7 +88,8 @@ object SparkEntry {
     "q45_sketchvisor_topk" -> SketchQueries.sketchVisorTopK _,
     "q46_relerr2" -> MetricQueries.relErr2Gate _,
     "q47_stratified_sample" -> TextQueries.stratifiedSample _,
-    "q48_pack_windows" -> TextQueries.packWindows _
+    "q48_pack_windows" -> TextQueries.packWindows _,
+    "q49_quantize_int8" -> AnnQueries.quantizeInt8 _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
@@ -522,6 +523,43 @@ object SparkEntry {
         |    (cast(sum(wins) AS double) * 8192) * 1000000.0) AS bigint)
         |    AS avg_fill_micro
         |FROM per_chunk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q49: every per-row expression is an order-fixed IEEE-double chain
+    // mirrored operation-for-operation (including explicit half-away-from-
+    // zero rounding and multiplication parenthesization); cross-row
+    // aggregates only ever see per-row-floored longs.
+    "q49_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT label, vec_id,
+        |    list_transform(embedding, x -> cast(x AS double)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+        |  FROM e),
+        |r AS (
+        |  SELECT label, vec_id, v, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+        |      ELSE (floor(abs(x) / scale + 0.5) * sign(x)) * scale END) AS recon
+        |  FROM s),
+        |m AS (
+        |  SELECT label, vec_id,
+        |    cast(floor(
+        |      list_sum(list_transform(range(1, len(v) + 1),
+        |        i -> (v[i] - recon[i]) * (v[i] - recon[i]))) / len(v) * 1e9)
+        |      AS bigint) AS mse_nano,
+        |    cast(floor(CASE WHEN scale = 0 THEN 1.0 ELSE
+        |      list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * recon[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])))
+        |        * sqrt(list_sum(list_transform(range(1, len(recon) + 1),
+        |            i -> recon[i] * recon[i]))))
+        |      END * 1000000.0) AS bigint) AS cos_micro
+        |  FROM r)
+        |SELECT label, count(*) AS n_vectors,
+        |  cast(floor(cast(sum(mse_nano) AS double) / cast(count(*) AS double))
+        |    AS bigint) AS avg_mse_nano,
+        |  cast(min(cos_micro) AS bigint) AS worst_cos_micro
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     // q27: the decode is stubbed, but modality routing and frame sampling
     // are pure arithmetic on (doc_id, duration) — mirrored exactly; the

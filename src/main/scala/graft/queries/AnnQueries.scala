@@ -311,6 +311,48 @@ object AnnQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** q49: int8 scalar quantization of the embedding column — the standard
+    * vector-index compression step (4× smaller than float32; what IVF lists
+    * store at scale). Per-vector symmetric quantization: scale = max|x|/127,
+    * q_i = round(x_i/scale) ∈ [−127, 127], reconstruction x̂_i = q_i·scale.
+    * Reported per label: vectors, mean squared reconstruction error and the
+    * worst per-vector cosine between x and x̂ — the numbers that tell an
+    * index operator whether int8 is safe for their corpus. Pure HOF
+    * arithmetic in one pass (no UDF, no shuffle beyond the label agg);
+    * DuckDB mirrors it exactly (both engines use IEEE double + round-half-
+    * away via floor(x+0.5), pinned by the oracle). */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val scale = aggregate(col("v"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x))) / lit(127.0)
+    // round-half-away-from-zero via floor(|x|+0.5)·sign — identical in both
+    // engines (DuckDB round() half-away matches; Spark round() is HALF_UP on
+    // decimals but bankers on doubles in some versions, so we spell it out)
+    val withQ = emb.withColumn("scale", scale)
+      .withColumn("recon", transform(col("v"), x =>
+        when(col("scale") === 0.0, lit(0.0)).otherwise(
+          (floor(abs(x) / col("scale") + 0.5) * signum(x)) * col("scale"))))
+    val sqErr = aggregate(zip_with(col("v"), col("recon"),
+      (x, r) => (x - r) * (x - r)), lit(0.0), (acc, e) => acc + e)
+    val cosXr = cosine(col("v"), col("recon"))
+    // per-ROW flooring before any cross-row aggregate: float sums across
+    // rows are partial-agg-order-dependent, but sums of floored longs are
+    // exact in both engines (the q19/q36 integral-sum discipline)
+    withQ
+      .select(col("label"), col("vec_id"),
+        floor(sqErr / size(col("v")) * lit(1e9)).cast("long").as("mse_nano"),
+        floor(when(col("scale") === 0.0, lit(1.0)).otherwise(cosXr)
+          * lit(1000000.0)).cast("long").as("cos_micro"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        floor(sum(col("mse_nano")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("avg_mse_nano"),
+        min(col("cos_micro")).as("worst_cos_micro"))
+      .orderBy(col("label"))
+  }
+
   /** q26: LSH-bucketed approximate neighbor candidates: bucket census —
     * shows the bucketing plan (shuffle on signature, pairs within bucket).
     * Recall vs brute force asserted in AnnSpec. */
