@@ -97,6 +97,37 @@ class AnnSpec extends SparkTestBase {
     assert(avgRecall >= 0.9, s"clustered IVF recall $avgRecall")
   }
 
+  test("int8 quantization preserves neighbors: IVF-SQ8 vs float IVF (q49 ∘ q39)") {
+    // the composition an index actually ships: inverted lists store int8
+    // codes; search runs over reconstructions. Same clustered fixture as
+    // above, vectors replaced by their symmetric-int8 reconstructions.
+    val rnd = new scala.util.Random(1234)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    def quantize(v: Array[Float]): Array[Float] = {
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      if (scale == 0.0) v.map(_ => 0.0f)
+      else v.map { x =>
+        ((math.floor(math.abs(x) / scale + 0.5) * math.signum(x.toDouble)) * scale).toFloat
+      }
+    }
+    val embFloat = vecs.toDF("vec_id", "embedding")
+    val embQ = vecs.map { case (id, v) => (id, quantize(v)) }.toDF("vec_id", "embedding")
+    def top5(emb: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      AnnQueries.ivfTopKOn(emb, every = 50, nprobe = 2).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val f = top5(embFloat)
+    val q = top5(embQ)
+    val overlap = f.map { case (k, s) =>
+      q.getOrElse(k, Set.empty).intersect(s).size.toDouble / s.size }
+    val avg = overlap.sum / overlap.size
+    assert(avg >= 0.8, s"IVF-SQ8 vs float-IVF neighbor overlap $avg")
+  }
+
   test("brute-force top-k on testdata matches per-query exact ranking") {
     val got = AnnQueries.cosineTopK(spark, sf("sf0.001"))
     val rows = got.collect()
