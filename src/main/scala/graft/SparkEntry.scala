@@ -89,7 +89,8 @@ object SparkEntry {
     "q46_relerr2" -> MetricQueries.relErr2Gate _,
     "q47_stratified_sample" -> TextQueries.stratifiedSample _,
     "q48_pack_windows" -> TextQueries.packWindows _,
-    "q49_quantize_int8" -> AnnQueries.quantizeInt8 _
+    "q49_quantize_int8" -> AnnQueries.quantizeInt8 _,
+    "q50_mixture_schedule" -> TextQueries.mixtureSchedule _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
@@ -523,6 +524,22 @@ object SparkEntry {
         |    (cast(sum(wins) AS double) * 8192) * 1000000.0) AS bigint)
         |    AS avg_fill_micro
         |FROM per_chunk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q50: md5 priorities and rn/w positions are engine-identical; the
+    // 100-slot prefix cut is tie-broken by (pos, source, doc_id) in both.
+    "q50_mixture_schedule" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rn,
+        |    cast(substr(source, 4) AS int) % 4 + 1 AS w
+        |  FROM documents),
+        |sched AS (
+        |  SELECT source, doc_id, cast(rn AS double) / cast(w AS double) AS pos
+        |  FROM ranked ORDER BY pos, source, doc_id LIMIT 100)
+        |SELECT source, count(*) AS n_scheduled,
+        |  cast(floor(min(pos) * 1000000.0) AS bigint) AS first_pos_micro
+        |FROM sched GROUP BY source ORDER BY source""".stripMargin,
 
     // q49: every per-row expression is an order-fixed IEEE-double chain
     // mirrored operation-for-operation (including explicit half-away-from-

@@ -278,11 +278,32 @@ object TextQueries {
   def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 20L
     val docs = Tables.documents(spark, sfDir)
-      .select(col("lang"), col("doc_id"), col("n_chars"),
-        md5(col("doc_id").cast("string").cast("binary")).as("pri"))
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    val survivors = priorityStratumSurvivors(docs, "lang", k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("pri").asc, col("doc_id").asc)
+    survivors.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sample_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Rows holding, per stratum of `strata`, AT LEAST the min(k, N_g)
+    * smallest md5 priorities (and nothing but small-priority rows) — the
+    * shared cheap-cutoff-then-validate pass behind q47/q50. Adds columns
+    * `pri` (md5 hex of doc_id) and `pri32` (its 32-bit prefix); because
+    * fixed-width hex compares stringwise as the 128-bit value, the admitted
+    * set is a PREFIX of each stratum's priority order, so ranking survivors
+    * equals ranking the full stratum up to rank k. */
+  private def priorityStratumSurvivors(docsIn: DataFrame, strata: String,
+      k: Long): DataFrame = {
+    val spark = docsIn.sparkSession
+    val docs = docsIn
+      .withColumn("pri", md5(col("doc_id").cast("string").cast("binary")))
       .withColumn("pri32", conv(substring(col("pri"), 1, 8), 16, 10).cast("long"))
       .cache()
-    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_g"))
+    val totals = docs.groupBy(col(strata)).agg(count(lit(1)).as("n_g"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var margin = 8L
     var survivors: DataFrame = null
@@ -296,21 +317,51 @@ object TextQueries {
         (g, if (m * k >= n) 1L << 32
             else math.min(1L << 32, ((1L << 32).toDouble * m * k / n).toLong + 1L))
       }
-      val cutoffDf = spark.createDataFrame(cuts.toIndexedSeq).toDF("lang", "cut")
-      survivors = docs.join(broadcast(cutoffDf), Seq("lang"))
+      val cutoffDf = spark.createDataFrame(cuts.toIndexedSeq).toDF(strata, "cut")
+      survivors = docs.join(broadcast(cutoffDf), Seq(strata))
         .filter(col("pri32") < col("cut"))
-      val got = survivors.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val got = survivors.groupBy(col(strata)).agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       ok = totals.forall { case (g, n) => got.getOrElse(g, 0L) >= math.min(k, n) }
       if (!ok) margin *= 4
     }
+    survivors.drop("cut")
+  }
+
+  /** q50 schedule length (slots of the epoch prefix the gate reports). */
+  private val ScheduleK = 100L
+
+  /** q50: deterministic weighted mixture schedule — the training-mix
+    * interleave. Each source gets weight w ∈ 1..4 (derived from its name;
+    * in production this is the mixture config) and its docs a uniform
+    * deterministic order (md5 priority, as q47). Doc at within-source rank
+    * rn is scheduled at position rn/w — smooth weighted round-robin, so a
+    * weight-4 source appears 4× as often in any schedule prefix. Reported:
+    * per-source doc count and first position within the first K slots.
+    *
+    * Scale shape: a source can place at most K docs in K slots, so only
+    * each source's K smallest priorities can matter —
+    * [[priorityStratumSurvivors]] admits exactly such a verified superset,
+    * the rank window runs on ~margin·K rows per source, and the global
+    * K-slot prefix is a TakeOrdered at K=100. Nothing scans or sorts whole
+    * sources. */
+  def mixtureSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("source"), col("doc_id"))
+    val survivors = priorityStratumSurvivors(docs, "source", ScheduleK)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("pri").asc, col("doc_id").asc)
-    survivors.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sample_chars"))
-      .orderBy(col("lang"))
+      .partitionBy(col("source")).orderBy(col("pri").asc, col("doc_id").asc)
+    survivors
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ScheduleK)
+      .withColumn("weight",
+        (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("int"))
+      .withColumn("pos", col("rn").cast("double") / col("weight").cast("double"))
+      .orderBy(col("pos"), col("source"), col("doc_id"))
+      .limit(ScheduleK.toInt)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_scheduled"),
+        floor(min(col("pos")) * lit(1000000.0)).cast("long").as("first_pos_micro"))
+      .orderBy(col("source"))
   }
 
   /** q48 capacity: context-window budget in characters (a char proxy keeps
