@@ -18,6 +18,39 @@ class StreamingSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("file source -> sketch agg -> parquet sink with checkpoint (full IO path)") {
+    // the readStream → transforms → writeStream contract over REAL files:
+    // parquet file source discovered incrementally, sketch aggregate in a
+    // foreachBatch parquet sink, offsets tracked in a checkpoint dir
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val srcDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val batch1 = Seq(("a", 3L), ("b", 1L), ("a", 2L)).toDF("k", "w")
+    batch1.write.parquet(s"$srcDir/p1")
+    val schema = batch1.schema
+    val q = spark.readStream.schema(schema)
+      .option("path", s"$srcDir/*").format("parquet").load()
+      .groupBy(col("k"))
+      .agg(cm_sketch(col("k"), col("w"), eps = 1e-3).as("sk"))
+      .select(col("k"), cm_query(col("sk"), col("k")).as("est"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    val batch2 = Seq(("a", 5L), ("c", 7L)).toDF("k", "w")
+    batch2.write.parquet(s"$srcDir/p2")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 10L, "b" -> 1L, "c" -> 7L))
+    // the checkpoint recorded both discovered files
+    assert(new java.io.File(s"$ckpt/sources").exists())
+  }
+
   test("cm_sketch in a streaming aggregation over micro-batches == batch build") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
