@@ -22,13 +22,6 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Measure every path with one untimed warm run (absorbs codegen/JIT debt
-    * so numbers are order-insensitive), then INTERLEAVED cycles — each cycle
-    * times every path once, best-of-cycles per path. Interleaving matters on
-    * this shared VM: external load arrives in bursts of minutes, so three
-    * back-to-back reps of one path can ALL land inside a burst (observed:
-    * one path 8× slow while its neighbors were nominal); spreading a path's
-    * samples across the full measurement window makes the min robust. */
   /** One untimed warm run then best-of-3 — for single-path tools
     * (ScanScale etc.); the main bench uses [[timeAllInterleaved]]. */
   def timeBest[T](f: => T): Double = {
@@ -36,6 +29,13 @@ object Bench {
     Seq(time(f)._2, time(f)._2, time(f)._2).min
   }
 
+  /** Measure every path with one untimed warm run (absorbs codegen/JIT debt
+    * so numbers are order-insensitive), then INTERLEAVED cycles — each cycle
+    * times every path once, best-of-cycles per path. Interleaving matters on
+    * this shared VM: external load arrives in bursts of minutes, so three
+    * back-to-back reps of one path can ALL land inside a burst (observed:
+    * one path 8× slow while its neighbors were nominal); spreading a path's
+    * samples across the full measurement window makes the min robust. */
   def timeAllInterleaved(paths: Seq[(String, () => Unit)], cycles: Int = 3)
       : Map[String, Double] = {
     paths.foreach(_._2()) // warm
@@ -115,6 +115,10 @@ object Bench {
       val (_, sec) = time {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       }
+      // per-query persists must not accumulate across the 50-query run
+      // (outside the timed region: each query pays its own cache builds,
+      // none inherits another's)
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

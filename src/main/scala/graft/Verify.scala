@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // query builders persist intermediates (signature tables, centroids,
+      // perKey aggregates) that are only useful within their own query;
+      // drop them so 50 queries in one session can't squeeze the storage
+      // pool dry
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

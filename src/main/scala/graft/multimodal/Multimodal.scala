@@ -103,14 +103,8 @@ object Multimodal {
     * arithmetic, so those columns ARE oracle-checked against DuckDB
     * (SparkEntry); the stub-derived feature values are pinned separately by
     * [[featureCensusWithChecksum]] in QueriesSmokeSpec. */
-  def featureCensus(spark: SparkSession, sfDir: String): DataFrame = {
-    val feats = extractFeatures(synthesize(spark, sfDir))
-    feats.toDF()
-      .groupBy(col("modality"))
-      .agg(count(lit(1)).as("n_media"),
-        sum(col("n_frames").cast("long")).as("total_frames"))
-      .orderBy(col("modality"))
-  }
+  def featureCensus(spark: SparkSession, sfDir: String): DataFrame =
+    featureCensusWithChecksum(spark, sfDir).drop("feature_checksum_milli")
 
   /** The census plus the xxhash-stub feature checksum (not SQL-mirrorable;
     * determinism asserted in ScalaTest). */

@@ -160,9 +160,14 @@ object SketchQueries {
     val candidates = keyed.select(col("k")).distinct()
       .filter(probe(col("k")) > 45L)
       .select(col("k"))
-    // phase 2: exact counts for the surviving candidate set only
+    // phase 2: exact counts for the surviving candidate set only. The final
+    // re-filter on the EXACT count costs nothing (already computed) and
+    // makes the query exact at ANY scale: a CM collision can admit a
+    // below-threshold key into the candidate set, but never drop one
+    // (one-sided overestimate), so filter-then-exact-then-refilter ≡ exact.
     keyed.join(broadcast(candidates), Seq("k"), "left_semi")
       .groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+      .filter(col("exact_count") > 45L)
       .orderBy(col("k"))
   }
 

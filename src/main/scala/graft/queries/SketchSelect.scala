@@ -55,9 +55,16 @@ object SketchSelect {
 
   /** The sketch-guided path, selectable directly for tests; callers use
     * [[topK]], which dispatches on k. */
-  private[queries] def sketchTopK(df: DataFrame, measureCol: String,
+  private[queries] def sketchTopK(dfIn: DataFrame, measureCol: String,
       keyCol: String, k: Long, knownN: Long = -1L): DataFrame = {
     val m = col(measureCol).cast("double")
+    // null/NaN measures must not reach the bracket loop: they count toward
+    // n but can never satisfy `m >= tLo`, so with enough of them
+    // `cLoInc >= k` is unreachable and the validate loop would spin forever
+    // once slack saturates. Dropping them fixes termination (slack = n then
+    // brackets [min, max] and trivially validates) and defines the
+    // operator's semantics: top-k among well-defined measures.
+    val df = dfIn.filter(m.isNotNull && !isnan(m))
     val n = if (knownN >= 0) knownN else df.count()
     if (k >= n) return df
 
@@ -83,7 +90,15 @@ object SketchSelect {
       cAboveHi = counts.getAs[Long]("cHi")
       val cLoInc = counts.getAs[Long]("cLoInc")
       valid = cAboveHi < k && cLoInc >= k
-      if (!valid) slack = math.min(n, slack * 4)
+      if (!valid) {
+        // slack = n brackets [min, max], which validates for any k ≤
+        // (non-null rows); if even that fails the caller's knownN counted
+        // rows this frame doesn't have — fail loudly, never spin
+        if (slack >= n) throw new IllegalStateException(
+          s"sketchTopK cannot validate at full slack: k=$k exceeds the " +
+            s"frame's ${cLoInc} non-null measures (knownN=$n overcounts?)")
+        slack = math.min(n, slack * 4)
+      }
     }
 
     // exact value histogram of the narrow band (size ~2·slack, not k)

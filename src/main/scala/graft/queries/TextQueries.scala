@@ -300,6 +300,12 @@ object TextQueries {
       k: Long): DataFrame = {
     val spark = docsIn.sparkSession
     val docs = docsIn
+      // null strata are excluded up front: they'd be counted by the groupBy
+      // (null group) but dropped by the equi-join on the cutoff table, so
+      // the validation could never reach min(k, n) for them — an infinite
+      // margin loop instead of a defined semantics ("sample within known
+      // strata")
+      .filter(col(strata).isNotNull)
       .withColumn("pri", md5(col("doc_id").cast("string").cast("binary")))
       .withColumn("pri32", conv(substring(col("pri"), 1, 8), 16, 10).cast("long"))
       .cache()
