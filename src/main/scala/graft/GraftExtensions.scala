@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.agg.{CmQuerySketch, CmTotalSketch, NativeCountMinAgg}
+import graft.agg.{CmQuerySketch, CmTotalSketch, HllCountSketch, KllQuantileSketch, NativeCountMinAgg}
 import graft.sketch.CountMinSketch
 
 /**
@@ -69,12 +69,35 @@ object GraftExtensions {
       exprs => {
         require(exprs.length == 1, "usage: cm_total_sketch(sketch)")
         CmTotalSketch(exprs.head)
+      }),
+    (FunctionIdentifier("hll_count_sketch"),
+      new ExpressionInfo(classOf[HllCountSketch].getName, "hll_count_sketch"),
+      exprs => {
+        require(exprs.length == 1, "usage: hll_count_sketch(sketch)")
+        HllCountSketch(exprs.head)
+      }),
+    (FunctionIdentifier("kll_quantile_sketch"),
+      new ExpressionInfo(classOf[KllQuantileSketch].getName, "kll_quantile_sketch"),
+      exprs => {
+        require(exprs.length == 2, "usage: kll_quantile_sketch(sketch, q)")
+        KllQuantileSketch(exprs.head, exprs(1))
       }))
 
-  /** Register the same functions into an already-running session. */
-  def install(spark: SparkSession): Unit =
+  /** Register the same functions into an already-running session, plus the
+    * HLL/KLL build udafs (`hll_sketch_agg`/`kll_sketch_agg` — Aggregator
+    * registration needs a live UDFRegistration, so these are install-only;
+    * the CM build is available on both paths as `cm_sketch_fast`). */
+  def install(spark: SparkSession): Unit = {
     functionDescriptions.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
+    import org.apache.spark.sql.{functions => F, Encoders}
+    spark.udf.register("hll_sketch_agg",
+      F.udaf(new graft.agg.SketchAggregators.HllAggregator(
+        14, graft.sketch.HyperLogLog.DefaultSeed), Encoders.STRING))
+    spark.udf.register("kll_sketch_agg",
+      F.udaf(new graft.agg.SketchAggregators.KllAggregator(
+        200, graft.sketch.KllSketch.DefaultSeed), Encoders.DOUBLE))
+  }
 }

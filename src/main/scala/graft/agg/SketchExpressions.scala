@@ -51,6 +51,49 @@ case class CmQuerySketch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** HLL cardinality estimate from a serialized HLL sketch. */
+case class HllCountSketch(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_count_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hll_count_sketch expects BINARY, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(sk: Any): Any =
+    SketchFunctions.decodeHllMemoized(sk.asInstanceOf[Array[Byte]]).estimateLong()
+
+  override protected def withNewChildInternal(newChild: Expression): HllCountSketch =
+    copy(child = newChild)
+}
+
+/** KLL quantile probe: kll_quantile_sketch(sketch, q) → DOUBLE. */
+case class KllQuantileSketch(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "kll_quantile_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType &&
+        right.dataType == org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_quantile_sketch expects (BINARY sketch, DOUBLE q), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override protected def nullSafeEval(sk: Any, q: Any): Any =
+    SketchFunctions.decodeKllMemoized(sk.asInstanceOf[Array[Byte]])
+      .quantile(q.asInstanceOf[Double])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantileSketch =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Total stream weight N recorded in a serialized CM sketch (ε·N bounds). */
 case class CmTotalSketch(child: Expression)
   extends UnaryExpression with CodegenFallback {

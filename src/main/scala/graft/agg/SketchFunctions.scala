@@ -69,11 +69,15 @@ object SketchFunctions {
 
   private val cmMemo = new SketchMemo[CountMinSketch]
 
-  /** Memoized CM decode for the native scalar expressions
-    * ([[CmQuerySketch]]/[[CmTotalSketch]]) — same thread-local memo as the
-    * UDF probes, so both surfaces share amortization. */
+  /** Memoized decodes for the native scalar expressions
+    * ([[CmQuerySketch]] etc.) — same thread-local memos as the UDF probes,
+    * so both surfaces share amortization. */
   private[agg] def decodeCmMemoized(bytes: Array[Byte]): CountMinSketch =
     cmMemo.get(bytes, CountMinSketch.deserialize)
+  private[agg] def decodeHllMemoized(bytes: Array[Byte]): HyperLogLog =
+    hllMemo.get(bytes, HyperLogLog.deserialize)
+  private[agg] def decodeKllMemoized(bytes: Array[Byte]): KllSketch =
+    kllMemo.get(bytes, KllSketch.deserialize)
   private val csMemo = new SketchMemo[CountSketch]
   private val mgMemo = new SketchMemo[MisraGries]
   private val fssMemo = new SketchMemo[FilteredSpaceSaving]

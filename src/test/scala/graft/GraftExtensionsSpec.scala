@@ -52,6 +52,26 @@ class GraftExtensionsSpec extends SparkTestBase {
       .agg(cm_sketch(col("k"), col("w"), eps = 1e-3, seed = seed).as("sk"))
       .select(cm_query(col("sk"), lit("k2"))).head().getLong(0)
 
+  test("hll/kll SQL surface: build udafs + native probes match the Scala API") {
+    installed; fixture()
+    val sqlRow = spark.sql(
+      """SELECT hll_count_sketch(h) AS card,
+        |  kll_quantile_sketch(kl, cast(0.5 AS double)) AS med
+        |FROM (SELECT hll_sketch_agg(k) AS h,
+        |        kll_sketch_agg(cast(w AS double)) AS kl
+        |      FROM ext_fixture)""".stripMargin).head()
+    val df = spark.table("ext_fixture")
+    val scalaRow = df.agg(
+        hll_sketch(col("k")).as("h"),
+        kll_sketch(col("w").cast("double")).as("kl"))
+      .select(hll_count(col("h")).as("card"),
+        kll_quantile(col("kl"), lit(0.5)).as("med"))
+      .head()
+    assert(sqlRow.getLong(0) === scalaRow.getLong(0))
+    assert(sqlRow.getDouble(1) === scalaRow.getDouble(1))
+    assert(sqlRow.getLong(0) === 37L) // p=14 is exact at 37 distinct keys
+  }
+
   test("mistyped SQL fails at analysis, not execution") {
     installed; fixture()
     val e1 = intercept[AnalysisException] {
