@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Plan-shape regression guards: the scale properties VERDICT r1 graded —
+  * no cartesian pair enumeration in the near-dup family, no single-row
+  * collect_set funnel in the probe path — must not silently reappear. */
+class PlanGuardSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("near-dup candidate generation never goes cartesian") {
+    for (q <- Seq("q16_dedup_minhash", "q17_dedup_simhash",
+        "q18_ngram_jaccard", "q41_lsh_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan:\n$p")
+    }
+  }
+
+  test("q25 tiling join is an equi-join, not a per-label cartesian") {
+    val p = plan("q25_cosine_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
+
+  test("probe paths carry no collect_set funnel") {
+    for (q <- Seq("q28_filtered_hh", "q03_cm_bound_partkeys", "q40_bound_audit"))
+      assert(!plan(q).contains("collect_set"), q)
+  }
+
+  test("metric-family selection has no full-width global sort at gate k") {
+    // gate k is below the exact-limit cutover: TakeOrdered/LocalLimit is the
+    // intended plan; a Sort over the full input without a limit is not
+    val p = plan("q11_relerr_top")
+    assert(!p.matches("(?s).*Sort \\[true_count.*global=true(?!.*Limit).*"), p)
+  }
+}
