@@ -84,20 +84,15 @@ object GraftExtensions {
       }))
 
   /** Register the same functions into an already-running session, plus the
-    * HLL/KLL build udafs (`hll_sketch_agg`/`kll_sketch_agg` — Aggregator
-    * registration needs a live UDFRegistration, so these are install-only;
+    * full udaf build surface via [[graft.agg.SketchFunctions.register]]
+    * (`hll_sketch`, `kll_sketch`, `bloom_sketch`, … — Aggregator
+    * registration needs a live UDFRegistration, so those are install-only;
     * the CM build is available on both paths as `cm_sketch_fast`). */
   def install(spark: SparkSession): Unit = {
     functionDescriptions.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
-    import org.apache.spark.sql.{functions => F, Encoders}
-    spark.udf.register("hll_sketch_agg",
-      F.udaf(new graft.agg.SketchAggregators.HllAggregator(
-        14, graft.sketch.HyperLogLog.DefaultSeed), Encoders.STRING))
-    spark.udf.register("kll_sketch_agg",
-      F.udaf(new graft.agg.SketchAggregators.KllAggregator(
-        200, graft.sketch.KllSketch.DefaultSeed), Encoders.DOUBLE))
+    graft.agg.SketchFunctions.register(spark)
   }
 }

@@ -78,16 +78,22 @@ case class KllQuantileSketch(left: Expression, right: Expression)
   override def prettyName: String = "kll_quantile_sketch"
 
   override def checkInputDataTypes(): TypeCheckResult =
+    // any numeric q: the natural SQL literal 0.5 parses as DECIMAL(1,1),
+    // and rejecting it would force users to spell cast(0.5 AS double)
     if (left.dataType == BinaryType &&
-        right.dataType == org.apache.spark.sql.types.DoubleType)
+        right.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"kll_quantile_sketch expects (BINARY sketch, DOUBLE q), got " +
+      s"kll_quantile_sketch expects (BINARY sketch, numeric q), got " +
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
 
-  override protected def nullSafeEval(sk: Any, q: Any): Any =
-    SketchFunctions.decodeKllMemoized(sk.asInstanceOf[Array[Byte]])
-      .quantile(q.asInstanceOf[Double])
+  override protected def nullSafeEval(sk: Any, q: Any): Any = {
+    val qd = q match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+    }
+    SketchFunctions.decodeKllMemoized(sk.asInstanceOf[Array[Byte]]).quantile(qd)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KllQuantileSketch =

@@ -45,25 +45,26 @@ object SketchSelect {
 
   /** Exact top-k rows of `df` by (`measureCol` desc, `keyCol` asc).
     * `knownN` skips the row count when the caller already has it. */
-  def topK(df: DataFrame, measureCol: String, keyCol: String, k: Long,
+  def topK(dfIn: DataFrame, measureCol: String, keyCol: String, k: Long,
       knownN: Long = -1L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val m = col(measureCol).cast("double")
+    // null/NaN measures are dropped on BOTH paths — so the operator's
+    // semantics ("top-k among well-defined measures") don't flip with k.
+    // On the exact path Spark would otherwise sort NaN above every double;
+    // on the sketch path null/NaN count toward n but can never satisfy
+    // `m >= tLo`, making the bracket validation unreachable (infinite loop).
+    val df = dfIn.filter(m.isNotNull && !isnan(m))
     if (k <= ExactLimitMaxK)
-      df.orderBy(col(measureCol).cast("double").desc, col(keyCol).asc).limit(k.toInt)
+      df.orderBy(m.desc, col(keyCol).asc).limit(k.toInt)
     else sketchTopK(df, measureCol, keyCol, k, knownN)
   }
 
   /** The sketch-guided path, selectable directly for tests; callers use
-    * [[topK]], which dispatches on k. */
+    * [[topK]], which dispatches on k and pre-drops null/NaN measures. */
   private[queries] def sketchTopK(dfIn: DataFrame, measureCol: String,
       keyCol: String, k: Long, knownN: Long = -1L): DataFrame = {
     val m = col(measureCol).cast("double")
-    // null/NaN measures must not reach the bracket loop: they count toward
-    // n but can never satisfy `m >= tLo`, so with enough of them
-    // `cLoInc >= k` is unreachable and the validate loop would spin forever
-    // once slack saturates. Dropping them fixes termination (slack = n then
-    // brackets [min, max] and trivially validates) and defines the
-    // operator's semantics: top-k among well-defined measures.
     val df = dfIn.filter(m.isNotNull && !isnan(m))
     val n = if (knownN >= 0) knownN else df.count()
     if (k >= n) return df

@@ -295,7 +295,14 @@ object TextQueries {
     * `pri` (md5 hex of doc_id) and `pri32` (its 32-bit prefix); because
     * fixed-width hex compares stringwise as the 128-bit value, the admitted
     * set is a PREFIX of each stratum's priority order, so ranking survivors
-    * equals ranking the full stratum up to rank k. */
+    * equals ranking the full stratum up to rank k.
+    *
+    * Cache lifecycle (applies to every persisted intermediate in this
+    * package): Spark's CacheManager keys entries by canonicalized plan, so
+    * repeat invocations of the same query REUSE one entry rather than
+    * pinning new memory; the distinct-entry count is bounded by the query
+    * set, storage is MEMORY_AND_DISK (evicts/spills, never OOMs), and the
+    * gate runners (Verify/Bench) clearCache() between queries. */
   private def priorityStratumSurvivors(docsIn: DataFrame, strata: String,
       k: Long): DataFrame = {
     val spark = docsIn.sparkSession

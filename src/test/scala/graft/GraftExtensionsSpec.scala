@@ -56,9 +56,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     installed; fixture()
     val sqlRow = spark.sql(
       """SELECT hll_count_sketch(h) AS card,
-        |  kll_quantile_sketch(kl, cast(0.5 AS double)) AS med
-        |FROM (SELECT hll_sketch_agg(k) AS h,
-        |        kll_sketch_agg(cast(w AS double)) AS kl
+        |  kll_quantile_sketch(kl, 0.5) AS med
+        |FROM (SELECT hll_sketch(k) AS h,
+        |        kll_sketch(cast(w AS double)) AS kl
         |      FROM ext_fixture)""".stripMargin).head()
     val df = spark.table("ext_fixture")
     val scalaRow = df.agg(

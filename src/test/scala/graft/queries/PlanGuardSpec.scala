@@ -32,9 +32,12 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   test("metric-family selection has no full-width global sort at gate k") {
-    // gate k is below the exact-limit cutover: TakeOrdered/LocalLimit is the
-    // intended plan; a Sort over the full input without a limit is not
+    // gate k is below the exact-limit cutover: the selection must plan as
+    // TakeOrderedAndProject (per-partition heaps, k-row merge), never as a
+    // full Sort (renders as "Sort [...], true, 0" — global flag = bare
+    // ", true" in this Spark's plan strings, verified empirically)
     val p = plan("q11_relerr_top")
-    assert(!p.matches("(?s).*Sort \\[true_count.*global=true(?!.*Limit).*"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.matches("(?s).*Sort \\[[^\\]]*true_count[^\\]]*\\], true, .*"), p)
   }
 }
