@@ -81,6 +81,32 @@ class ReferenceParitySpec extends SparkTestBase {
     assert(back === Set((Seq(1L, 2L), 10.5, 12.0), (Seq(2L, 3L), 3.25, 3.25)))
   }
 
+  test("ingests the reference's COMMITTED artifacts, not just shaped fixtures") {
+    // the real files the reference repo ships (read-only study of its
+    // behavior): a topology coflow input and a CountMax reroute OUTPUT
+    val topo = ReferenceIO.readCoflowJson(spark,
+      "/root/reference/data/Fattree_50000.json")
+    assert(topo.count() === 50000L)
+    assert(topo.agg(sum(col("traffic"))).head().getDouble(0) > 0.0)
+    // reroute output invariant: rerouted traffic never exceeds the original
+    // demand (the reference only ever sheds load off heavy links)
+    val rer = spark.read.option("multiLine", "true")
+      .json("/root/reference/data/REROUTE_CountMax_k1000_Fattree_50000.json")
+      .select(explode(col("flows")).as("f"))
+      .select(col("f.path").as("path"), col("f.traffic").as("traffic"),
+        col("f.origtraffic").as("origtraffic"))
+    assert(rer.filter(col("traffic") > col("origtraffic") + 1e-6).count() === 0L)
+    // our Q6 link-load aggregation runs over the real artifact: explode
+    // consecutive path pairs into links, sum traffic per link
+    val links = rer
+      .select(col("traffic"), posexplode(expr(
+        "transform(slice(path, 1, size(path) - 1), (x, i) -> struct(x AS a, path[i + 1] AS b))"))
+        .as(Seq("i", "link")))
+      .groupBy(col("link")).agg(sum(col("traffic")).as("load"))
+    val maxLoad = links.agg(max(col("load"))).head().getDouble(0)
+    assert(links.count() > 100L && maxLoad > 0.0)
+  }
+
   test("TSV metrics sink writes the PrintToTxt shape (IO5)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tsv").toString + "/metrics"
