@@ -90,7 +90,8 @@ object SparkEntry {
     "q47_stratified_sample" -> TextQueries.stratifiedSample _,
     "q48_pack_windows" -> TextQueries.packWindows _,
     "q49_quantize_int8" -> AnnQueries.quantizeInt8 _,
-    "q50_mixture_schedule" -> TextQueries.mixtureSchedule _
+    "q50_mixture_schedule" -> TextQueries.mixtureSchedule _,
+    "q51_repetition" -> TextQueries.repetitionStats _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
@@ -524,6 +525,30 @@ object SparkEntry {
         |    (cast(sum(wins) AS double) * 8192) * 1000000.0) AS bigint)
         |    AS avg_fill_micro
         |FROM per_chunk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q51: bigrams with multiplicity (range/t[i] indexing matches Spark's
+    // zip_with-of-slices pairing); micros floored per doc before the
+    // cross-row average.
+    "q51_repetition" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT lang, doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |perbg AS (
+        |  SELECT lang, doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+        |perdoc AS (
+        |  SELECT lang, doc_id,
+        |    cast(floor(cast(max(c) AS double) / cast(sum(c) AS double)
+        |      * 1000000.0) AS bigint) AS mass_micro
+        |  FROM perbg GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  cast(floor(cast(sum(mass_micro) AS double) / cast(count(*) AS double))
+        |    AS bigint) AS avg_mass_micro,
+        |  cast(count(*) FILTER (WHERE mass_micro >= 200000) AS bigint)
+        |    AS hi_repetition_docs
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q50: md5 priorities and rn/w positions are engine-identical; the
     // 100-slot prefix cut is tie-broken by (pos, source, doc_id) in both.

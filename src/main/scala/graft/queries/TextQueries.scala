@@ -443,6 +443,39 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** q51: repetition-filter statistics — the Gopher-family "most common
+    * n-gram mass" quality signal (Rae et al. 2021 §A1.1): per document,
+    * the fraction of bigram OCCURRENCES (multiplicity kept — this is the
+    * repetition measure, unlike q18's distinct sets) taken by the single
+    * most frequent bigram; reported per language with the count of docs
+    * above the 0.2 repetition threshold. Plain explode + two-level
+    * aggregate — scale-safe (nothing per-doc quadratic), docs under 2
+    * tokens drop out naturally (empty explode), mirrored 1:1 in SQL with
+    * per-row-floored micros into the cross-row aggregates. */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (x, y) => concat_ws(" ", x, y))
+    val ex = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), explode(bigrams).as("bg"))
+    val perDoc = ex
+      .groupBy(col("lang"), col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      .select(col("lang"),
+        floor(col("mx").cast("double") / col("tot").cast("double") * 1000000.0)
+          .cast("long").as("mass_micro"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        floor(sum(col("mass_micro")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("avg_mass_micro"),
+        sum(when(col("mass_micro") >= 200000L, 1L).otherwise(0L))
+          .as("hi_repetition_docs"))
+      .orderBy(col("lang"))
+  }
+
   /** q23: winnowing fingerprint census per document (oracle-less kernel op;
     * the shared-fingerprint join is the plagiarism/near-dup scale path). */
   def fingerprintCensus(spark: SparkSession, sfDir: String): DataFrame = {
