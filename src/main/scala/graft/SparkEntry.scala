@@ -91,7 +91,8 @@ object SparkEntry {
     "q48_pack_windows" -> TextQueries.packWindows _,
     "q49_quantize_int8" -> AnnQueries.quantizeInt8 _,
     "q50_mixture_schedule" -> TextQueries.mixtureSchedule _,
-    "q51_repetition" -> TextQueries.repetitionStats _
+    "q51_repetition" -> TextQueries.repetitionStats _,
+    "q52_asof_attribution" -> AsOfJoin.purchaseAttribution _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
@@ -525,6 +526,23 @@ object SparkEntry {
         |    (cast(sum(wins) AS double) * 8192) * 1000000.0) AS bigint)
         |    AS avg_fill_micro
         |FROM per_chunk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q52: the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // first-class implementation cross-checking our union-tag + window
+    // composition. Gap sums stay exact integer microseconds until the one
+    // double division (identical operands both engines).
+    "q52_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click')
+        |SELECT count(*) AS n_purchases,
+        |  count(cts) AS n_attributed,
+        |  cast(floor(cast(sum(epoch_us(ts) - epoch_us(cts)) AS double)
+        |    / cast(count(cts) AS double)) AS bigint) AS avg_gap_us,
+        |  cast(max(epoch_us(ts) - epoch_us(cts)) AS bigint) AS max_gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin,
 
     // q51: bigrams with multiplicity (range/t[i] indexing matches Spark's
     // zip_with-of-slices pairing); micros floored per doc before the

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Distributed AS-OF join — for each left row, the right row with the
+ * greatest timestamp ≤ the left timestamp within the same key (the
+ * time-series attribution/enrichment join the task brief names as a
+ * Spark-gap operator).
+ *
+ * Spark-first shape (preference tier (a): composition of built-ins): tag
+ * the two inputs, union them, and run ONE per-key window pass —
+ * `last(right_payload, ignoreNulls)` over rows `unboundedPreceding →
+ * currentRow` ordered by (ts, tag) with right rows first at equal
+ * timestamps (inclusive ≤ semantics). Cost = one shuffle on the key + one
+ * per-partition sort: no time-range join explosion, no per-key loop, skew
+ * behavior identical to any keyed window. The DuckDB oracle is the
+ * engine's NATIVE `ASOF LEFT JOIN`, so the gate cross-checks our
+ * composition against an independent first-class implementation.
+ */
+object AsOfJoin {
+
+  /** Left rows enriched with `asof` = struct of `payload` columns from the
+    * latest right row at-or-before the left row's `tsCol` per `keyCol`
+    * (null when no such row). Left columns pass through unchanged. */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      payload: Seq[String]): DataFrame = {
+    val pStruct = struct(payload.map(col): _*)
+    val pType = right.select(pStruct.as("p")).schema("p").dataType
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lType = left.select(lStruct.as("l")).schema("l").dataType
+    val r = right.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+      lit(0).as("_tag"), pStruct.as("_p"), lit(null).cast(lType).as("_l"))
+    val l = left.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+      lit(1).as("_tag"), lit(null).cast(pType).as("_p"), lStruct.as("_l"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts").asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("_l.*"), col("_asof").as("asof"))
+  }
+
+  /** q52: purchase→click attribution over `events` — each purchase joined
+    * as-of to the user's latest prior-or-equal click. The gate aggregates
+    * are integer-exact and tie-insensitive (equal-timestamp click ties
+    * share the same gap): attribution rate and gap statistics in exact
+    * microsecond longs, summed as longs before the single double division. */
+  def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val joined = asOf(purchases, clicks, "user_id", "ts", Seq("ts"))
+      .select(col("ts"), col("asof.ts").as("cts"))
+      .withColumn("gap_us",
+        // events.ts is TIMESTAMP_NTZ; the cast is identity under the
+        // session's UTC timezone and unix_micros requires TIMESTAMP
+        when(col("cts").isNotNull,
+          unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(col("cts").cast("timestamp"))))
+    joined.agg(
+      count(lit(1)).as("n_purchases"),
+      count(col("cts")).as("n_attributed"),
+      floor(sum(col("gap_us")).cast("double") / count(col("cts")).cast("double"))
+        .cast("long").as("avg_gap_us"),
+      max(col("gap_us")).as("max_gap_us"))
+  }
+}
