@@ -92,7 +92,8 @@ object SparkEntry {
     "q49_quantize_int8" -> AnnQueries.quantizeInt8 _,
     "q50_mixture_schedule" -> TextQueries.mixtureSchedule _,
     "q51_repetition" -> TextQueries.repetitionStats _,
-    "q52_asof_attribution" -> AsOfJoin.purchaseAttribution _
+    "q52_asof_attribution" -> AsOfJoin.purchaseAttribution _,
+    "q53_range_join" -> RangeJoin.nearbyEventPairs _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
@@ -526,6 +527,16 @@ object SparkEntry {
         |    (cast(sum(wins) AS double) * 8192) * 1000000.0) AS bigint)
         |    AS avg_fill_micro
         |FROM per_chunk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q53: the oracle runs the band join as a native inequality join
+    // (DuckDB IEJoin) — independent of our bin-bucketed equi-join plan.
+    "q53_range_join" ->
+      """SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q52: the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
     // first-class implementation cross-checking our union-tag + window
