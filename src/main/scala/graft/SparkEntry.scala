@@ -93,7 +93,8 @@ object SparkEntry {
     "q50_mixture_schedule" -> TextQueries.mixtureSchedule _,
     "q51_repetition" -> TextQueries.repetitionStats _,
     "q52_asof_attribution" -> AsOfJoin.purchaseAttribution _,
-    "q53_range_join" -> RangeJoin.nearbyEventPairs _
+    "q53_range_join" -> RangeJoin.nearbyEventPairs _,
+    "q54_sessionize" -> Sessionize.sessionStats _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
@@ -527,6 +528,36 @@ object SparkEntry {
         |    (cast(sum(wins) AS double) * 8192) * 1000000.0) AS bigint)
         |    AS avg_fill_micro
         |FROM per_chunk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q54: the oracle replays the same lag→flag→running-sum window chain
+    // with the same (tus, event_id) tie-break; integer sums feed the two
+    // double divisions with identical operands.
+    "q54_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |flags AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sess AS (
+        |  SELECT user_id, tus,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags),
+        |per_session AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    max(tus) - min(tus) AS dur_us
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT cast(count(*) AS bigint) AS n_sessions,
+        |  cast(count(*) FILTER (WHERE n_events = 1) AS bigint)
+        |    AS singleton_sessions,
+        |  cast(floor(cast(sum(n_events) AS double) * 1000.0
+        |    / cast(count(*) AS double)) AS bigint) AS avg_events_milli,
+        |  cast(max(dur_us) AS bigint) AS max_duration_us,
+        |  cast(floor(cast(sum(dur_us) AS double) / cast(count(*) AS double))
+        |    AS bigint) AS avg_duration_us
+        |FROM per_session""".stripMargin,
 
     // q53: the oracle runs the band join as a native inequality join
     // (DuckDB IEJoin) — independent of our bin-bucketed equi-join plan.
