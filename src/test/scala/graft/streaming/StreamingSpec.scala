@@ -124,6 +124,46 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("2026-01-01 11:00:00.0", "a", 2L)))
   }
 
+  test("streaming sessionization == batch sessionization (state across micro-batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q54 gap rule as mapGroupsWithState: state = (last ts, sessions so
+    // far); a session must survive a micro-batch boundary iff the gap is
+    // within 30 min, and split iff it is not — both cases constructed below
+    val GapUs = 1800000000L
+    val mem = MemoryStream[(Long, Long)] // (user_id, ts_us)
+    def fn(user: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[(Long, Long)]): Iterator[(Long, Long)] = {
+      var (lastTs, sessions) = state.getOption.getOrElse((Long.MinValue, 0L))
+      rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+        if (lastTs == Long.MinValue || ts - lastTs > GapUs) sessions += 1
+        lastTs = ts
+      }
+      state.update((lastTs, sessions))
+      Iterator((user, sessions))
+    }
+    val q = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "n_sessions")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_sessions")
+      .start()
+    val H = 3600000000L // 1h in us
+    // user 1: batch2 continues the session (+10 min); user 2: batch2 splits
+    mem.addData(Seq((1L, 0L), (1L, H), (2L, 0L)))
+    q.processAllAvailable()
+    mem.addData(Seq((1L, H + GapUs / 3), (2L, 3 * H)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT user_id, max(n_sessions) FROM stream_sessions GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    // batch reference: user 1 has gaps {1h} then +10min → 2 sessions;
+    // user 2 has one event then a 3h gap → 2 sessions
+    assert(got === Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("flatMapGroupsWithState: per-group HLL sketch carried as explicit state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
