@@ -24,9 +24,15 @@ object AsOfJoin {
 
   /** Left rows enriched with `asof` = struct of `payload` columns from the
     * latest right row at-or-before the left row's `tsCol` per `keyCol`
-    * (null when no such row). Left columns pass through unchanged. */
+    * (null when no such row). Left columns pass through unchanged (the
+    * name `asof` must be free on the left). Right rows tied on
+    * (key, ts) resolve deterministically to the GREATEST payload struct —
+    * without that final sort key, `last()` would return whichever tied row
+    * the shuffle happened to order last. */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       payload: Seq[String]): DataFrame = {
+    require(!left.columns.contains("asof"),
+      "asOf appends an `asof` column; rename the left frame's existing one")
     val pStruct = struct(payload.map(col): _*)
     val pType = right.select(pStruct.as("p")).schema("p").dataType
     val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
@@ -36,7 +42,7 @@ object AsOfJoin {
     val l = left.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
       lit(1).as("_tag"), lit(null).cast(pType).as("_p"), lStruct.as("_l"))
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts").asc, col("_tag").asc)
+      .orderBy(col("_ts").asc, col("_tag").asc, col("_p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
       .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))

@@ -155,14 +155,18 @@ object TextQueries {
     * Worst-case candidate volume is data-dependent (Σ prefix-df²) — that is
     * inherent to EXACT low-threshold set-similarity join; at near-dup
     * thresholds (τ ≥ 0.5) use the q16 MinHash-LSH path instead. */
+  /** Word-bigram array (WITH multiplicity) of a space-split token array —
+    * the single pairing definition shared by q18 (which then hashes and
+    * dedups) and q51 (which keeps multiplicity for the repetition mass). */
+  private def wordBigrams(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (x, y) => concat_ws(" ", x, y))
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        array_distinct(transform(
-          zip_with(
-            slice(split(col("text"), " "), lit(1), size(split(col("text"), " ")) - 1),
-            slice(split(col("text"), " "), lit(2), size(split(col("text"), " ")) - 1),
-            (x, y) => concat_ws(" ", x, y)),
+        array_distinct(transform(wordBigrams(split(col("text"), " ")),
           b => xxhash64(b))).as("bigrams"))
       // persisted: referenced by the df-count pass, the prefix pass and both
       // verify branches — uncached, the split/zip/hash tower re-runs per
@@ -453,12 +457,9 @@ object TextQueries {
     * tokens drop out naturally (empty explode), mirrored 1:1 in SQL with
     * per-row-floored micros into the cross-row aggregates. */
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val bigrams = zip_with(
-      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-      (x, y) => concat_ws(" ", x, y))
     val ex = Tables.documents(spark, sfDir)
-      .select(col("lang"), col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("lang"), col("doc_id"),
+        explode(wordBigrams(split(col("text"), " "))).as("bg"))
     val perDoc = ex
       .groupBy(col("lang"), col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("c"))

@@ -39,5 +39,24 @@ class AsOfJoinSpec extends SparkTestBase {
     val row = out.head()
     assert(row.getAs[Double]("value") === 42.0)
     assert(row.getAs[Any]("asof") == null)
+    // cardinality: one output row per LEFT row even when many right rows
+    // match — a regression to per-pair emission must fail here, not dedup
+    // away in a collect().toMap
+    val left2 = Seq((1L, t("12:00:00"), 1.0), (1L, t("13:00:00"), 2.0))
+      .toDF("user_id", "ts", "value")
+    val right2 = (1 to 5).map(i => (1L, t(f"11:00:0$i")))
+      .toDF("user_id", "ts")
+    assert(AsOfJoin.asOf(left2, right2, "user_id", "ts", Seq("ts")).count() === 2L)
+  }
+
+  test("equal-timestamp right ties resolve deterministically to the greatest payload") {
+    val left = Seq((1L, t("10:00:00"), "p")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, t("09:00:00"), "cA"), (1L, t("09:00:00"), "cB"))
+      .toDF("user_id", "ts", "name")
+    val got = (1 to 5).map { _ =>
+      AsOfJoin.asOf(left, right, "user_id", "ts", Seq("name"))
+        .select(col("asof.name")).head().getString(0)
+    }
+    assert(got.forall(_ == "cB"), got.toString) // greatest payload struct wins
   }
 }
