@@ -111,16 +111,31 @@ object Bench {
     // input splits)
     val corpusStats = sketchThroughput(spark, benchRows, cpus.toInt)
 
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = time {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+    // Per-query gate: one untimed warm cycle (codegen/JIT debt), then
+    // INTERLEAVED measured cycles, best-of-cycles per query — the same
+    // discipline as timeAllInterleaved/ScalingBench. Round 2 ran each query
+    // once, and shared-VM load bursts made per-query numbers swing 3-9×
+    // between rounds on unchanged code; spreading a query's samples across
+    // the full window makes the min attributable. clearCache stays OUTSIDE
+    // the timed region so each run pays its own internal persists and none
+    // inherits another's.
+    val gateCycles = sys.env.getOrElse("SPARK_GRAFT_GATE_CYCLES", "3").toInt
+    val gate = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runOnce(fn: (SparkSession, String) => DataFrame): Double = {
+      val (ok, sec) = time {
+        try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       }
-      // per-query persists must not accumulate across the 50-query run
-      // (outside the timed region: each query pays its own cache builds,
-      // none inherits another's)
       spark.catalog.clearCache()
-      name -> sec
+      if (ok) sec else -1.0
     }
+    gate.foreach { case (_, fn) => runOnce(fn) } // warm cycle, untimed
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to gateCycles; (name, fn) <- gate) {
+      val sec = runOnce(fn)
+      val prev = best.getOrElse(name, Double.MaxValue)
+      best(name) = if (sec < 0 || prev < 0) -1.0 else math.min(prev, sec)
+    }
+    val queryTimes = gate.map { case (name, _) => name -> best(name) }
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
@@ -128,7 +143,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",")
     println(s"""{"metric":"cm_build_mrows_per_sec","value":${
       f"${corpusStats("cm_build_mrows_per_sec")}%.3f"
-    },"unit":"Mrows/s","total_query_sec":${f"$total%.3f"},"bench_rows":$benchRows,"cpus":$cpus,$extras,"queries":$qs,"sf":"$sfDir"}""")
+    },"unit":"Mrows/s","total_query_sec":${f"$total%.3f"},"bench_rows":$benchRows,"cpus":$cpus,"gate_cycles":$gateCycles,$extras,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

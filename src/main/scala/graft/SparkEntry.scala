@@ -94,7 +94,8 @@ object SparkEntry {
     "q51_repetition" -> TextQueries.repetitionStats _,
     "q52_asof_attribution" -> AsOfJoin.purchaseAttribution _,
     "q53_range_join" -> RangeJoin.nearbyEventPairs _,
-    "q54_sessionize" -> Sessionize.sessionStats _
+    "q54_sessionize" -> Sessionize.sessionStats _,
+    "q55_ngram_jaccard_prefix" -> TextQueries.ngramJaccardHigh _
   )
 
   /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
@@ -288,6 +289,19 @@ object SparkEntry {
         |  FROM bg a JOIN bg b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard_micro FROM pairs
         |WHERE jaccard_micro >= 50000 ORDER BY id_a, id_b""".stripMargin,
+
+    "q55_ngram_jaccard_prefix" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(t)),
+        |  i -> t[i] || ' ' || t[i+1])) AS bigrams FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    cast(floor(cast(len(list_intersect(a.bigrams, b.bigrams)) AS double) /
+        |      cast(len(a.bigrams) + len(b.bigrams) - len(list_intersect(a.bigrams, b.bigrams)) AS double)
+        |      * 1000000.0) AS bigint) AS jaccard_micro
+        |  FROM bg a JOIN bg b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard_micro FROM pairs
+        |WHERE jaccard_micro >= 300000 ORDER BY id_a, id_b""".stripMargin,
 
     "q19_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -33,15 +33,22 @@ import graft.sketch.KllSketch
  */
 object SketchSelect {
 
-  /** Above this k the sketch-guided path replaces TakeOrdered. Below it the
-    * exact limit is the RIGHT plan at any data scale: LocalLimit keeps ≤ k
-    * rows per partition, so the single merge task sees ≤ P·k narrow rows
-    * (P=2000, k=4096 → 8M rows ≈ tens of MB) — the funnel the sketch path
-    * exists to avoid only forms when k itself is huge (θ·N at 10⁹ keys).
-    * The cutover also matters in reverse: the sketch path costs ~4 driver
-    * actions (KLL build, bracket validate, histogram, final), pure overhead
-    * when k is small. */
-  val ExactLimitMaxK = 4096L
+  /** Floor of the exact-limit cutover: below this k TakeOrdered is the
+    * right plan at ANY data scale (LocalLimit keeps ≤ k rows per partition,
+    * so the single merge task sees ≤ P·k narrow rows — P=2000, k=4096 → 8M
+    * rows ≈ tens of MB), and no row count is needed to decide. */
+  val ExactLimitMinFloor = 4096L
+
+  /** Scale-aware cutover: the sketch path costs ~4 driver actions (KLL
+    * build, bracket validate, histogram, final) — pure overhead unless the
+    * TakeOrdered funnel is genuinely large RELATIVE to the data. k = θ·n
+    * keeps the funnel at P·θ·n rows ≈ 0.1% of a full scan's rows at
+    * n/1000 — cheaper than 4 extra passes — so the cap grows with n: the
+    * gate-scale k (just above a constant floor) takes the exact plan, while
+    * the θ·10⁹-key regime the sketch path exists for still routes to it.
+    * Round 2 used a constant 4096 and q11 paid 4.3 s of sketch overhead to
+    * select k≈5000 of n≈5M rows. */
+  def exactLimitMaxK(n: Long): Long = math.max(ExactLimitMinFloor, n / 1000L)
 
   /** Exact top-k rows of `df` by (`measureCol` desc, `keyCol` asc).
     * `knownN` skips the row count when the caller already has it. */
@@ -55,9 +62,13 @@ object SketchSelect {
     // on the sketch path null/NaN count toward n but can never satisfy
     // `m >= tLo`, making the bracket validation unreachable (infinite loop).
     val df = dfIn.filter(m.isNotNull && !isnan(m))
-    if (k <= ExactLimitMaxK)
-      df.orderBy(m.desc, col(keyCol).asc).limit(k.toInt)
-    else sketchTopK(df, measureCol, keyCol, k, knownN)
+    def exact = df.orderBy(m.desc, col(keyCol).asc).limit(k.toInt)
+    if (k <= ExactLimitMinFloor) exact
+    else {
+      val n = if (knownN >= 0) knownN else df.count()
+      if (k <= exactLimitMaxK(n)) exact
+      else sketchTopK(df, measureCol, keyCol, k, knownN = n)
+    }
   }
 
   /** The sketch-guided path, selectable directly for tests; callers use
@@ -67,7 +78,9 @@ object SketchSelect {
     val m = col(measureCol).cast("double")
     val df = dfIn.filter(m.isNotNull && !isnan(m))
     val n = if (knownN >= 0) knownN else df.count()
-    if (k >= n) return df
+    // k >= n selects everything; sorted so the "top-k rows" contract keeps
+    // a stable row order on every path (ADVICE round 2)
+    if (k >= n) return df.orderBy(m.desc, col(keyCol).asc)
 
     // k=8192 keeps the per-partition partial buffer small (the sketch only
     // BRACKETS m*; the validate loop absorbs any rank error, so precision

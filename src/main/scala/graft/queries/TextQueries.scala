@@ -129,81 +129,170 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** q18: exact word-bigram Jaccard similarity at J ≥ 0.05, blocked by
-    * `source`, expressible 1:1 in the DuckDB oracle.
-    *
-    * Round 1 shipped this as an all-pairs join within each source block —
-    * O(B²) rows through the join regardless of similarity, the classic 100×
-    * scale-killer. This version is the AllPairs/PPJoin prefix-filtering
-    * algorithm (Bayardo et al. WWW'07; Xiao et al. WWW'08) — still EXACT:
-    *
-    * 1. per-doc distinct bigram set, hashed to longs (array ops ~5x cheaper
-    *    than strings; collision odds ~|set|²/2⁶⁴ per pair — verified
-    *    value-equal with the string-based oracle);
-    * 2. canonical global token order = (document frequency asc, hash asc);
-    * 3. index only each doc's PREFIX: first |x| − ⌈t·|x|⌉ + 1 tokens in that
-    *    order (integer arithmetic: ⌈n/20⌉ = (n+19) div 20 for t = 1/20 — no
-    *    float ceil that could shorten the prefix and break the guarantee).
-    *    PPJoin Lemma 1: J(x,y) ≥ t ⟹ |x∩y| ≥ ⌈t·max(|x|,|y|)⌉ ⟹ the two
-    *    prefixes share ≥1 token, so candidate recall is exactly 1;
-    * 4. candidates = self-join of the exploded prefixes on (source, token)
-    *    — the hottest ~5% of each doc's tokens (stopword bigrams, the worst
-    *    shuffle keys) are never indexed — plus the exact size-ratio prune
-    *    J ≥ t ⟹ 20·|y| ≥ |x| ∧ 20·|x| ≥ |y| (integer-exact);
-    * 5. verify candidates with full-array intersection.
-    *
-    * Worst-case candidate volume is data-dependent (Σ prefix-df²) — that is
-    * inherent to EXACT low-threshold set-similarity join; at near-dup
-    * thresholds (τ ≥ 0.5) use the q16 MinHash-LSH path instead. */
   /** Word-bigram array (WITH multiplicity) of a space-split token array —
-    * the single pairing definition shared by q18 (which then hashes and
-    * dedups) and q51 (which keeps multiplicity for the repetition mass). */
+    * the single pairing definition shared by q18/q55 (which then hash and
+    * dedup) and q51 (which keeps multiplicity for the repetition mass). */
   private def wordBigrams(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     zip_with(
       slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
       (x, y) => concat_ws(" ", x, y))
 
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  /** Per-doc distinct hashed bigram set + set size. Hashed to longs because
+    * array ops over longs are ~5x cheaper than strings; collision odds
+    * ~|set|²/2⁶⁴ per pair — verified value-equal with the string oracle. */
+  private def bigramDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         array_distinct(transform(wordBigrams(split(col("text"), " ")),
           b => xxhash64(b))).as("bigrams"))
-      // persisted: referenced by the df-count pass, the prefix pass and both
-      // verify branches — uncached, the split/zip/hash tower re-runs per
-      // branch (the q16 disease)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = docs.select(col("source"), col("doc_id"), explode(col("bigrams")).as("bg"))
-    val dfreq = ex.groupBy(col("bg")).agg(count(lit(1)).as("df"))
-    // prefix tokens per doc under the global (df, bg) order
-    val prefixes = ex.join(dfreq, Seq("bg"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("bg")))).as("ord"))
-      .select(col("source"), col("doc_id"), size(col("ord")).as("n"),
-        expr("slice(transform(ord, x -> x.bg), 1, size(ord) - ((size(ord) + 19) div 20) + 1)")
-          .as("pref"))
-      // persisted: both sides of the prefix self-join read it, and alias
-      // renames keep Spark's ReuseExchange from deduplicating the shuffle
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pe = prefixes.select(col("source"), col("doc_id"), col("n"),
-      explode(col("pref")).as("bg"))
-    val candidateIds = pe.select(col("source"), col("bg"), col("doc_id").as("id_a"), col("n").as("na"))
-      .join(pe.select(col("source"), col("bg"), col("doc_id").as("id_b"), col("n").as("nb")),
-        Seq("source", "bg"))
-      .filter(col("id_a") < col("id_b") &&
-        col("nb") * 20 >= col("na") && col("na") * 20 >= col("nb"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val sets = docs.select(col("doc_id"), col("bigrams"))
-    candidateIds
-      .join(sets.select(col("doc_id").as("id_a"), col("bigrams").as("bg_a")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("bigrams").as("bg_b")), Seq("id_b"))
+      .withColumn("n", size(col("bigrams")))
+
+  /** Tiling groups for the low-threshold blocked path (and the number of
+    * tasks one source block spreads over is G(G+1)/2 = 36). */
+  private val JaccardTileG = 8
+
+  /** Prefix filtering only pays above this threshold: the indexed prefix is
+    * the first |x|−⌈t·|x|⌉+1 tokens, so at t=0.05 it is ~95% of every doc —
+    * candidate volume barely drops while the df pass, the per-doc
+    * (df, token) sort and two extra shuffles are all added cost (measured
+    * round 2: 7.8 s → 35.7 s at sf0.1). Candidate volume scales ~(1−t)² of
+    * all-pairs BEFORE the df-ordering effect, which only bites when the
+    * prefix is short enough to live in the rare-token tail. t = 0.2 (prefix
+    * ≤ 80%, rare-first ordering meaningful) is where the measured crossover
+    * sits on zipf-shaped token dfs. */
+  private val PrefixCutoverMicro = 200000L
+
+  /** Exact within-`source` word-bigram Jaccard join at threshold
+    * `tMicro`/10⁶ — threshold-ADAPTIVE plan selection:
+    *
+    *  - t below [[PrefixCutoverMicro]]: an exact low-threshold set join is
+    *    inherently Ω(surviving-pairs) WORK (prefix filtering is a no-op when
+    *    the prefix is ~the whole doc — see above), so the right plan is the
+    *    one that spreads that work: a triangle-TILED blocked all-pairs join
+    *    ([[graft.queries.AnnQueries.cosineNearDup]]'s layout) with the
+    *    integer-exact size-ratio prune. Each source block spreads over
+    *    G(G+1)/2 even tasks instead of one straggler task per block, each
+    *    pair is formed exactly once (no distinct), and the per-pair verify
+    *    is one array intersection.
+    *  - t at/above the cutover: AllPairs/PPJoin prefix filtering (Bayardo
+    *    WWW'07; Xiao et al. WWW'08) with the POSITIONAL filter — still
+    *    exact, candidates ~(1−t)² · rare-token dfs.
+    *
+    * Both paths produce identical results (the exact verify decides); only
+    * the candidate plan differs. At genuine near-dup thresholds (τ ≥ 0.5)
+    * prefer the q16 MinHash-LSH path. */
+  def ngramJaccardJoin(spark: SparkSession, sfDir: String, tMicro: Long): DataFrame = {
+    require(tMicro >= 1 && tMicro <= 1000000, s"tMicro out of (0,1]: $tMicro")
+    if (tMicro < PrefixCutoverMicro) ngramJaccardTiled(spark, sfDir, tMicro)
+    else ngramJaccardPrefix(spark, sfDir, tMicro)
+  }
+
+  /** q18: exact bigram Jaccard at J ≥ 0.05 within source blocks. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardJoin(spark, sfDir, 50000L)
+
+  /** q55: exact bigram Jaccard at J ≥ 0.3 — drives the PPJoin prefix path. */
+  def ngramJaccardHigh(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardJoin(spark, sfDir, 300000L)
+
+  /** Jaccard verify + threshold over carried bigram arrays `bg_a`/`bg_b`. */
+  private def jaccardVerify(pairs: DataFrame, tMicro: Long): DataFrame =
+    pairs
       .withColumn("inter", size(array_intersect(col("bg_a"), col("bg_b"))))
       .withColumn("uni", size(col("bg_a")) + size(col("bg_b")) - col("inter"))
       .withColumn("jaccard_micro",
         floor(col("inter").cast("double") / col("uni").cast("double") * 1000000.0).cast("long"))
-      .filter(col("jaccard_micro") >= 50000L)
+      .filter(col("jaccard_micro") >= tMicro)
       .select(col("id_a"), col("id_b"), col("jaccard_micro"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Low-threshold path: triangle-tiled blocked all-pairs + size-ratio
+    * prune. Replication cost ~G/2× of the (narrow) signature table through
+    * the shuffle; parallelism ~G²/2× per block. The size-ratio prune is
+    * integer-exact: J ≥ t ⟹ t ≤ min/max ⟹ 10⁶·min(|x|,|y|) ≥ t·10⁶·max. */
+  private[queries] def ngramJaccardTiled(spark: SparkSession, sfDir: String, tMicro: Long): DataFrame = {
+    val docs = bigramDocs(spark, sfDir)
+      .withColumn("g", pmod(xxhash64(col("doc_id")), lit(JaccardTileG)).cast("int"))
+    val left = docs.crossJoin(spark.range(JaccardTileG).select(col("id").cast("int").as("j")))
+      .filter(col("j") >= col("g"))
+      .select(col("source"), col("g").as("i"), col("j"),
+        col("doc_id").as("idl"), col("bigrams").as("bgl"), col("n").as("nl"))
+    val right = docs.crossJoin(spark.range(JaccardTileG).select(col("id").cast("int").as("i")))
+      .filter(col("i") <= col("g"))
+      .select(col("source"), col("i"), col("g").as("j"),
+        col("doc_id").as("idr"), col("bigrams").as("bgr"), col("n").as("nr"))
+    val pairs = left.join(right, Seq("source", "i", "j"))
+      // cross-group pairs meet exactly once at tile (g_a, g_b); same-group
+      // tiles produce both orientations + self-pairs, id order dedups
+      .filter((col("i") < col("j") && col("idl") =!= col("idr")) ||
+        (col("i") === col("j") && col("idl") < col("idr")))
+      .filter(least(col("nl"), col("nr")) * 1000000L >=
+        greatest(col("nl"), col("nr")) * tMicro)
+      .select(least(col("idl"), col("idr")).as("id_a"),
+        greatest(col("idl"), col("idr")).as("id_b"),
+        when(col("idl") < col("idr"), col("bgl")).otherwise(col("bgr")).as("bg_a"),
+        when(col("idl") < col("idr"), col("bgr")).otherwise(col("bgl")).as("bg_b"))
+    jaccardVerify(pairs, tMicro)
+  }
+
+  /** High-threshold path: PPJoin prefix + positional filtering.
+    *
+    * 1. canonical global token order = (document frequency asc, hash asc)
+    *    — rarest tokens first, so prefixes index the cold tail;
+    * 2. index each doc's PREFIX: first |x| − ⌈t·|x|⌉ + 1 tokens in that
+    *    order (integer ceil: ⌈t·n⌉ = (t·10⁶·n + 10⁶ − 1) div 10⁶ — no float
+    *    ceil that could shorten the prefix and break the guarantee).
+    *    PPJoin Lemma 1: J(x,y) ≥ t ⟹ |x∩y| ≥ ⌈t·max(|x|,|y|)⌉ ⟹ the two
+    *    prefixes share ≥1 token → candidate recall exactly 1;
+    * 3. candidates = prefix self-join on (source, token) + the size-ratio
+    *    prune + the POSITIONAL filter (Xiao et al. §4): a matched token at
+    *    1-based positions (i, j) bounds the overlap from above by
+    *    1 + min(|x|−i, |y|−j); J ≥ t needs overlap ≥ α =
+    *    ⌈t/(1+t)·(|x|+|y|)⌉, and for a true pair the FIRST shared prefix
+    *    token satisfies the bound (no common tokens precede it), so keeping
+    *    pairs where ANY matched occurrence passes is recall-1 and strictly
+    *    tighter than prefix-only;
+    * 4. distinct surviving pairs, re-join sets, exact verify. */
+  private[queries] def ngramJaccardPrefix(spark: SparkSession, sfDir: String, tMicro: Long): DataFrame = {
+    val docs = bigramDocs(spark, sfDir)
+      // persisted: referenced by the df-count pass, the prefix pass and both
+      // verify branches — uncached, the split/zip/hash tower re-runs per
+      // branch (the round-1 q16 disease)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = docs.select(col("source"), col("doc_id"), explode(col("bigrams")).as("bg"))
+    val dfreq = ex.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    // prefix tokens per doc under the global (df, bg) order, with positions
+    val prefixes = ex.join(dfreq, Seq("bg"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("bg")))).as("ord"))
+      .select(col("source"), col("doc_id"), size(col("ord")).as("n"),
+        expr(s"slice(transform(ord, x -> x.bg), 1, " +
+          s"size(ord) - ((size(ord) * ${tMicro}L + 999999) div 1000000) + 1)")
+          .as("pref"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pe = prefixes.select(col("source"), col("doc_id"), col("n"),
+      posexplode(col("pref")).as(Seq("pos0", "bg")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    val candidateIds = pe.select(col("source"), col("bg"),
+        col("doc_id").as("id_a"), col("n").as("na"), col("pos").as("pa"))
+      .join(pe.select(col("source"), col("bg"),
+        col("doc_id").as("id_b"), col("n").as("nb"), col("pos").as("pb")),
+        Seq("source", "bg"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("na"), col("nb")) * 1000000L >=
+          greatest(col("na"), col("nb")) * tMicro &&
+        // positional filter, integer-exact: overlap bound 1+min(na−pa,nb−pb)
+        // must reach α = ⌈t·(na+nb)/(1+t)⌉; for positive ints
+        // ub ≥ ⌈A/B⌉ ⟺ ub·B ≥ A with A = t·10⁶-scaled numerator
+        (lit(1L) + least(col("na") - col("pa"), col("nb") - col("pb"))) *
+          (lit(1000000L) + tMicro) >= (col("na") + col("nb")) * tMicro)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("bigrams"))
+    val pairs = candidateIds
+      .join(sets.select(col("doc_id").as("id_a"), col("bigrams").as("bg_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("bigrams").as("bg_b")), Seq("id_b"))
+    jaccardVerify(pairs, tMicro)
   }
 
   /** q19: per-language token statistics — pure built-ins, fully SQL-mirrored. */

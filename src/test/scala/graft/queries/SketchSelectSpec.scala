@@ -48,12 +48,32 @@ class SketchSelectSpec extends SparkTestBase {
     val small = SketchSelect.topK(perKey, "true_count", "k", 10L)
       .select("k").as[String].collect().sorted
     assert(small.toSeq === (1 to 10).map(i => s"key$i").sorted.toSeq)
-    assert(5000L > SketchSelect.ExactLimitMaxK) // stays on the sketch path
+    assert(5000L > SketchSelect.exactLimitMaxK(9000L)) // stays on the sketch path
     val big = SketchSelect.topK(perKey, "true_count", "k", 5000L)
       .select("k").as[String].collect().sorted
     val want = perKey.orderBy(desc("true_count"), asc("k")).limit(5000)
       .select("k").as[String].collect().sorted
     assert(big.toSeq === want.toSeq)
+    perKey.unpersist()
+  }
+
+  test("scale-aware cutover: cap grows with n, floor holds below it") {
+    // small data: floor — any k below 4096 is a TakeOrdered at any scale
+    assert(SketchSelect.exactLimitMaxK(1000L) === SketchSelect.ExactLimitMinFloor)
+    // big data: k = θ·n keeps the P·k funnel ~0.1% of the scan until
+    // n/1000, so a gate-scale k≈5000 of n≈5M rows takes the exact plan...
+    assert(SketchSelect.exactLimitMaxK(5000000L) === 5000L)
+    // ...while θ·10⁹ keys still route to the sketch path
+    assert(SketchSelect.exactLimitMaxK(1000000000L) === 1000000L)
+    assert(5000000L > SketchSelect.exactLimitMaxK(1000000000L))
+    // and the exact plan at k just above the old constant matches the naive
+    val perKey = (1 to 9000).map(i => (s"key$i", (9000 - i).toLong))
+      .toDF("k", "true_count").repartition(8).cache()
+    val got = SketchSelect.topK(perKey, "true_count", "k", 5000L, knownN = 9000000L)
+      .select("k").as[String].collect().sorted
+    val want = perKey.orderBy(desc("true_count"), asc("k")).limit(5000)
+      .select("k").as[String].collect().sorted
+    assert(got.toSeq === want.toSeq)
     perKey.unpersist()
   }
 
