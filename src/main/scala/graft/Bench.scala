@@ -63,6 +63,7 @@ object Bench {
     // otherwise the first measured stage absorbs the collection
     System.gc()
     graft.agg.NativeCountMinAgg.register(spark, eps = eps)
+    graft.agg.NativeTopKAgg.register(spark, capacity = 4096, eps = eps)
     corpus.createOrReplaceTempView("bench_corpus_v")
     val paths: Seq[(String, () => Unit)] = Seq(
       "cm_build" -> (() =>
@@ -71,6 +72,8 @@ object Bench {
         spark.sql("SELECT cm_sketch_fast(token, weight) FROM bench_corpus_v").head()),
       "topk_build" -> (() =>
         corpus.agg(cm_topk(col("token"), lit(1L), capacity = 4096, eps = eps)).head()),
+      "topk_native_build" -> (() =>
+        spark.sql("SELECT topk_sketch_fast(token, 1L) FROM bench_corpus_v").head()),
       "hll_build" -> (() =>
         corpus.agg(hll_sketch(col("token"), p = 14)).head()),
       "kll_build" -> (() =>

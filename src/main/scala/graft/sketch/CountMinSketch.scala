@@ -77,6 +77,38 @@ final class CountMinSketch private (
   def query(key: String): Long = query(Hash128.ofString(key, seed))
   def query(key: Long): Long = query(Hash128.ofLong(key, seed))
 
+  /** Allocation-free query from precomputed double-hash halves (same rows
+    * [[Hash128.row]] derives — bit-identical to query(Hash128(h1, h2))). */
+  @inline def queryRaw(h1: Long, h2: Long): Long = {
+    var min = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = counters(i * width + ((h1 + i.toLong * h2) & mask.toLong).toInt)
+      if (c < min) min = c
+      i += 1
+    }
+    min
+  }
+
+  /** Fused update + post-update query in ONE pass over the d rows: each
+    * bucket index is computed once and its counter touched once (the
+    * separate updateRaw-then-queryRaw sequence recomputes the indices and
+    * re-reads the freshly written lines). Bit-identical to updateRaw
+    * followed by queryRaw — the post-update min over the same cells. */
+  @inline def updateAndQueryRaw(h1: Long, h2: Long, weight: Long): Long = {
+    var min = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val idx = i * width + ((h1 + i.toLong * h2) & mask.toLong).toInt
+      val c = counters(idx) + weight
+      counters(idx) = c
+      if (c < min) min = c
+      i += 1
+    }
+    _totalWeight += weight
+    min
+  }
+
   /** Query-then-update in one pass: returns the PRE-update estimate, then
     * applies the update — the reference's threshold-gate primitive
     * (`SwitchSketch.PeekUpdate`, /root/reference/Simulation/CountMin.cs:45-50,81-89,

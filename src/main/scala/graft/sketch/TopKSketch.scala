@@ -95,16 +95,33 @@ final class TopKSketch private (
 
   def update(key: String, weight: Long): Unit = {
     val h = Hash128.ofString(key, cm.seed)
-    cm.update(h, weight)
-    val est = cm.query(h)
-    val pos = index.getOrElse(h.h1, -1)
+    updateRaw(h.h1, h.h2, weight, () => key)
+  }
+
+  /** Zero-decode update from precomputed double-hash halves: `key`
+    * materializes the String only on the COLD path (the key enters or
+    * replaces a heap candidate) — the hot path (non-candidate row) never
+    * decodes bytes. `key` is invoked synchronously within this call, so
+    * callers may close over row-backed buffers. Bit-identical to
+    * update(key, weight) given the same hashes (pinned in NativeAggSpec). */
+  def updateRaw(h1: Long, h2: Long, weight: Long, key: () => String): Unit = {
+    val est = cm.updateAndQueryRaw(h1, h2, weight)
+    // exact short-circuit for the cold-key hot path: stored estimates only
+    // grow and equal the CM estimate at last touch, so a key whose current
+    // estimate is strictly below the heap minimum cannot be IN the heap
+    // (its stored est ≤ est < min) nor enter it — skip the index lookup
+    if (heapSize == capacity && est < heapEsts(0)) return
+    val pos = index.getOrElse(h1, -1)
     if (pos >= 0) {
       heapEsts(pos) = est // estimates only grow → sift down
       siftDown(pos)
     } else if (heapSize < capacity) {
-      heapInsert(key, h.h1, est)
-    } else if (est > heapEsts(0) || (est == heapEsts(0) && key < heapKeys(0))) {
-      heapReplaceRoot(key, h.h1, est)
+      heapInsert(key(), h1, est)
+    } else if (est > heapEsts(0)) {
+      heapReplaceRoot(key(), h1, est)
+    } else if (est == heapEsts(0)) {
+      val k = key()
+      if (k < heapKeys(0)) heapReplaceRoot(k, h1, est)
     }
   }
 

@@ -23,6 +23,44 @@ class NativeAggSpec extends SparkTestBase {
     }
   }
 
+  test("native topk_sketch_fast == udaf cm_topk, semantically identical") {
+    // capacity exceeds the distinct keyspace, so no trim happens and the
+    // candidate set + merged-CM estimates are partition-order independent;
+    // serialized bytes may differ (heap insertion order), the deterministic
+    // (est desc, key asc) topK listing must not
+    NativeTopKAgg.register(spark, capacity = 4096, eps = 1e-3, delta = 0.01)
+    val stream = StreamFixtures.weightedZipfStream(40000, 2000)
+    for (parts <- Seq(1, 8, 32)) {
+      val df = stream.toDF("k", "w").repartition(parts)
+      df.createOrReplaceTempView("native_topk_v")
+      val native = graft.sketch.TopKSketch.deserialize(
+        spark.sql("SELECT topk_sketch_fast(k, w) AS sk FROM native_topk_v")
+          .head().getAs[Array[Byte]]("sk"))
+      val udaf = graft.sketch.TopKSketch.deserialize(
+        df.agg(cm_topk(col("k"), col("w"), capacity = 4096, eps = 1e-3).as("sk"))
+          .head().getAs[Array[Byte]]("sk"))
+      assert(native.totalWeight === udaf.totalWeight, s"parts=$parts weight")
+      assert(native.candidateCount === udaf.candidateCount, s"parts=$parts candidates")
+      assert(native.topK(4096).toSeq === udaf.topK(4096).toSeq, s"parts=$parts topK")
+    }
+  }
+
+  test("native topk agg trims deterministically under capacity pressure") {
+    // capacity below the keyspace: single partition → one sequential stream,
+    // the native path must reproduce the udaf path's exact heap evolution
+    NativeTopKAgg.register(spark, capacity = 64, eps = 1e-3, delta = 0.01)
+    val df = StreamFixtures.weightedZipfStream(40000, 2000)
+      .toDF("k", "w").repartition(1)
+    df.createOrReplaceTempView("native_topk_small_v")
+    val native = graft.sketch.TopKSketch.deserialize(
+      spark.sql("SELECT topk_sketch_fast(k, w) AS sk FROM native_topk_small_v")
+        .head().getAs[Array[Byte]]("sk"))
+    val udaf = graft.sketch.TopKSketch.deserialize(
+      df.agg(cm_topk(col("k"), col("w"), capacity = 64, eps = 1e-3).as("sk"))
+        .head().getAs[Array[Byte]]("sk"))
+    assert(native.topK(64).toSeq === udaf.topK(64).toSeq)
+  }
+
   test("native aggregate works in groupBy and skips nulls") {
     NativeCountMinAgg.register(spark, eps = 1e-3, delta = 0.01)
     SketchFunctions.register(spark)
