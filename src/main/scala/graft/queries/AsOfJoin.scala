@@ -50,6 +50,52 @@ object AsOfJoin {
       .select(col("_l.*"), col("_asof").as("asof"))
   }
 
+  /** Hot-key-safe twin of [[asOf]]: identical output, but the per-event
+    * window partitions on (key, time-bucket) so no single task owns a hot
+    * key's full history. Time is the one correct salt for an as-of join
+    * (monotone in the sort order): buckets partition time, so a left row's
+    * answer is either the in-bucket window result or — when the bucket has
+    * no right row at-or-before it — the greatest right row of any EARLIER
+    * bucket, carried in via one window over the per-(key, bucket) summary
+    * (rows per key = number of buckets, not events). `tsCol` must be
+    * bucketable by long division after `unix_micros`-style casting — here
+    * it is bucketed on the raw column's microseconds. */
+  def asOfSalted(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payload: Seq[String], bucketUs: Long): DataFrame = {
+    require(!left.columns.contains("asof"),
+      "asOf appends an `asof` column; rename the left frame's existing one")
+    val pStruct = struct(payload.map(col): _*)
+    val pType = right.select(pStruct.as("p")).schema("p").dataType
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lType = left.select(lStruct.as("l")).schema("l").dataType
+    def tb(c: Column): Column =
+      floor(unix_micros(c.cast("timestamp")) / bucketUs)
+    val r = right.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+      lit(0).as("_tag"), pStruct.as("_p"), lit(null).cast(lType).as("_l"))
+      .withColumn("_b", tb(col("_ts")))
+    val l = left.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+      lit(1).as("_tag"), lit(null).cast(pType).as("_p"), lStruct.as("_l"))
+      .withColumn("_b", tb(col("_ts")))
+    val u = r.unionByName(l)
+    val w = Window.partitionBy(col("_k"), col("_b"))
+      .orderBy(col("_ts").asc, col("_tag").asc, col("_p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("_local", last(col("_p"), ignoreNulls = true).over(w))
+    // per-(key, bucket) greatest right row, over EVERY bucket present on
+    // either side (a left-only bucket still needs the carry-in); running
+    // max over EARLIER buckets = the carry for rows whose bucket-local
+    // window found nothing. max() skips the nulls of right-less buckets.
+    val wB = Window.partitionBy(col("_k")).orderBy(col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = u.groupBy(col("_k"), col("_b"))
+      .agg(max(when(col("_tag") === 0, struct(col("_ts"), col("_p")))).as("_best"))
+      .withColumn("_carry", max(col("_best")).over(wB))
+      .select(col("_k").as("_ck"), col("_b").as("_cb"), col("_carry._p").as("_cp"))
+    local.filter(col("_tag") === 1)
+      .join(carry, col("_k") === col("_ck") && col("_b") === col("_cb"), "left")
+      .select(col("_l.*"), coalesce(col("_local"), col("_cp")).as("asof"))
+  }
+
   /** q52: purchase→click attribution over `events` — each purchase joined
     * as-of to the user's latest prior-or-equal click. The gate aggregates
     * are integer-exact and tie-insensitive (equal-timestamp click ties

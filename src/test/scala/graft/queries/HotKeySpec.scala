@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/**
+ * Hot-key hardening for the keyed-window operators (VERDICT r2 item 6): a
+ * fixture where ONE user owns 50% of all events must (a) produce results
+ * row-identical to the unsalted pass and (b) plan its per-event window
+ * partitioned on (key, time-bucket) — so no single task serializes the hot
+ * key's full history.
+ */
+class HotKeySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic skewed fixture: user "hot" gets every other event; times
+  // jitter across ~12 hours with gaps straddling the 30-min session cut and
+  // the 1-hour salt-bucket edges (incl. exact-boundary and tie timestamps)
+  private lazy val events = (1 to 4000).map { i =>
+    val user = if (i % 2 == 0) "hot" else s"u${i % 37}"
+    val tus = (i.toLong * 662999L + (i % 7) * 1799000000L) % 43200000000L
+    (user, i.toLong, tus)
+  }.toDF("user_id", "event_id", "tus").repartition(8).cache()
+
+  private val BucketUs = 3600000000L // 1 hour
+
+  test("salted sessionization is row-identical to the unsalted pass") {
+    val plain = Sessionize.sessionIds(events)
+      .select("user_id", "event_id", "sid").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    val salted = Sessionize.sessionIdsSalted(events, BucketUs)
+      .select("user_id", "event_id", "sid").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(salted.length === plain.length)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("salted sessionization plans its per-event window on (user, bucket)") {
+    val plan = Sessionize.sessionIdsSalted(events, BucketUs)
+      .queryExecution.executedPlan.toString
+    // the per-event sort/partition must carry the salt column — a plan that
+    // hash-partitions on user_id alone re-serializes the hot key
+    assert(plan.contains("__tb"), s"salt column missing from plan:\n$plan")
+    assert(plan.matches("(?s).*hashpartitioning\\([^)]*user_id[^)]*__tb.*"),
+      s"per-event exchange not salted:\n$plan")
+  }
+
+  test("salted as-of join is row-identical to the unsalted pass") {
+    val base = events.withColumn("ts", timestamp_micros(col("tus")))
+    val left = base.filter(col("event_id") % 3 =!= 0)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val right = base.filter(col("event_id") % 3 === 0)
+      .select(col("user_id"), col("ts"))
+    val plain = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("ts"))
+      .select(col("user_id"), col("event_id"), col("asof.ts").as("ats"))
+      .as[(String, Long, Option[java.sql.Timestamp])]
+      .collect().sortBy(r => (r._1, r._2))
+    val salted = AsOfJoin.asOfSalted(left, right, "user_id", "ts", Seq("ts"), BucketUs)
+      .select(col("user_id"), col("event_id"), col("asof.ts").as("ats"))
+      .as[(String, Long, Option[java.sql.Timestamp])]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(salted.length === plain.length)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("salted as-of join plans its per-event window on (key, bucket)") {
+    val base = events.withColumn("ts", timestamp_micros(col("tus")))
+    val left = base.select(col("user_id"), col("event_id"), col("ts"))
+    val right = base.filter(col("event_id") % 3 === 0).select(col("user_id"), col("ts"))
+    val plan = AsOfJoin.asOfSalted(left, right, "user_id", "ts", Seq("ts"), BucketUs)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*hashpartitioning\\([^)]*_k[^)]*_b.*"),
+      s"per-event exchange not salted:\n$plan")
+  }
+}
