@@ -531,7 +531,7 @@ object SparkEntry {
         |  SELECT lang, n_chars,
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rn
-        |  FROM documents)
+        |  FROM documents WHERE lang IS NOT NULL)
         |SELECT lang, count(*) AS n_sampled,
         |  cast(sum(n_chars) AS bigint) AS sample_chars
         |FROM ranked WHERE rn <= 20 GROUP BY lang ORDER BY lang""".stripMargin,
@@ -658,7 +658,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rn,
         |    cast(substr(source, 4) AS int) % 4 + 1 AS w
-        |  FROM documents),
+        |  FROM documents WHERE source IS NOT NULL),
         |sched AS (
         |  SELECT source, doc_id, cast(rn AS double) / cast(w AS double) AS pos
         |  FROM ranked ORDER BY pos, source, doc_id LIMIT 100)

@@ -76,4 +76,50 @@ object CorpusGenerator {
     * mismatches (must be 0 at every pipeline stage per input_hint). */
   def verifySha(corpus: DataFrame): Long =
     corpus.filter(sha2(col("content"), 256) =!= col("content_sha")).count()
+
+  /** TRACE-shaped per-key totals (the IO8 variant VERDICT r2 asked for):
+    * the reference's `NewGen` resampling recipe
+    * (/root/reference/Generator/Program.cs:39-53) — sort the empirical
+    * traffic values of a committed trace (e.g. `data/Spine_1000.json`)
+    * descending, then linearly interpolate them to `keys` values, so the
+    * generated keyspace follows the REAL trace's tail shape instead of
+    * closed-form zipf. Faithful to the reference arithmetic: the
+    * near-integer snap at |m − round(m)| < 0.001, int truncation of the
+    * interpolated value, a = ⌊m⌋, b = ⌈m⌉. The ref array (~10³ doubles)
+    * rides as a literal; the scan stays codegen-only and resliceable.
+    * Returns one (key, total) row per key. */
+  def traceShapedTotals(spark: SparkSession, refTraffics: Array[Double],
+      keys: Int, partitions: Int): DataFrame = {
+    require(refTraffics.length >= 2, "need at least 2 reference traffic values")
+    require(keys >= 2, "need at least 2 keys")
+    val sorted = refTraffics.sorted(Ordering[Double].reverse)
+    val arr = lit(sorted)
+    val scale = (keys - 1).toDouble / (sorted.length - 1)
+    val m = col("id").cast("double") / lit(scale)
+    val a = floor(m).cast("int")
+    val b = (lit(0) - floor(lit(0) - m)).cast("int") // ⌈m⌉ via -⌊-m⌋, as the reference writes it
+    val c = m - a.cast("double")
+    val interp = when(abs(m - round(m)) < 0.001,
+        element_at(arr, round(m).cast("int") + 1).cast("int"))
+      .otherwise((c * element_at(arr, b + 1)
+        + (lit(1.0) - c) * element_at(arr, a + 1)).cast("int"))
+    spark.range(0L, keys, 1L, partitions)
+      .select(concat(lit("flow"), col("id")).as("key"),
+        interp.cast("long").as("total"))
+  }
+
+  /** Expand per-key totals into a packet-chunked update stream — the
+    * reference's replay discipline (large values split into packet-size
+    * updates: 500 for CM, /root/reference/Simulation/CountMax.cs:245-252):
+    * each key emits ⌈total/chunk⌉ rows of weight `chunk` with a final
+    * remainder, preserving Σw = total exactly. */
+  def chunkedStream(totals: DataFrame, chunk: Long): DataFrame = {
+    require(chunk >= 1, "chunk must be positive")
+    totals.filter(col("total") > 0)
+      .select(col("key"), col("total"),
+        explode(sequence(lit(0L),
+          floor((col("total") - 1) / chunk).cast("long"))).as("i"))
+      .select(col("key"),
+        least(lit(chunk), col("total") - col("i") * chunk).as("w"))
+  }
 }

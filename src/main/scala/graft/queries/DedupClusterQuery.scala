@@ -1,5 +1,6 @@
 package graft.queries
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,23 +12,69 @@ import org.apache.spark.sql.functions._
  * its neighbors; converges in O(component diameter) rounds (components here
  * are tiny; at corpus scale this is the standard large-graph CC loop, one
  * shuffle per round, label state O(nodes-in-pairs) ≪ corpus).
+ *
+ * RESUMABLE (VERDICT r2 item 8): at 10⁹-edge scale the loop runs long
+ * enough to die mid-flight, and round-1's `localCheckpoint` state dies with
+ * the driver. [[connectedComponents]] optionally persists each round's
+ * label frame as parquet plus an ATOMIC commit marker carrying the round's
+ * `changed` count (the [[graft.data.SketchCheckpoint]] manifest
+ * discipline: data lands before the marker rename, readers only open
+ * committed rounds, a crash between the two leaves an overwritable
+ * orphan). A restarted run resumes from the latest committed round; label
+ * propagation is a deterministic function of (edges, labels), so the
+ * resumed fixpoint is row-identical to an uninterrupted run
+ * (ResumableCcSpec).
  */
 object DedupClusterQuery {
 
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = TextQueries.dedupMinhash(spark, sfDir)
-      .select(col("id_a"), col("id_b"))
-      .cache()
-    val edges = pairs
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst")
-      .cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .cache()
+  /** Committed (round, changed) markers under `dir`, ascending. */
+  private def committedRounds(dir: String): Seq[(Int, Long)] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("commit-"))
+        .map { f =>
+          val round = f.getFileName.toString.stripPrefix("commit-").toInt
+          (round, Files.readAllLines(f).get(0).trim.toLong)
+        }
+        .toSeq.sortBy(_._1)
+    }
+  }
+
+  private def commit(dir: String, round: Int, changed: Long): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, s".tmp-$round")
+    Files.write(tmp, changed.toString.getBytes)
+    Files.move(tmp, Paths.get(dir, s"commit-$round"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Min-label-propagation connected components over `edges(src, dst)`
+    * (must contain both orientations of each edge). Returns (node, label)
+    * at the fixpoint. `ckptDir` enables round-level checkpoint/resume;
+    * `failAfterRounds` stops after that many NEW rounds without finishing
+    * (crash-simulation test hook, like SketchCheckpoint's). */
+  def connectedComponents(edges: DataFrame, ckptDir: Option[String] = None,
+      maxRounds: Int = 20, failAfterRounds: Int = Int.MaxValue): DataFrame = {
+    val spark = edges.sparkSession
+    val committed = ckptDir.map(committedRounds).getOrElse(Seq.empty)
+    var round = 0
     var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    var labels =
+      if (committed.nonEmpty) {
+        round = committed.last._1
+        changed = committed.last._2
+        // resume from the latest COMMITTED label frame
+        spark.read.parquet(s"${ckptDir.get}/round-$round").localCheckpoint()
+      } else {
+        edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+          .localCheckpoint()
+      }
+    var steps = 0
+    while (changed > 0 && round < maxRounds && steps < failAfterRounds) {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
@@ -41,10 +88,28 @@ object DedupClusterQuery {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
-      rounds += 1
+      round += 1
+      steps += 1
+      ckptDir.foreach { dir =>
+        // parquet BEFORE marker: an interrupted round is an orphan the
+        // retry overwrites, never a half-read state
+        next.write.mode("overwrite").parquet(s"$dir/round-$round")
+        commit(dir, round, changed)
+      }
     }
+    labels
+  }
+
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = TextQueries.dedupMinhash(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .cache()
+    val labels = connectedComponents(edges)
     val out = labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))

@@ -440,6 +440,11 @@ object TextQueries {
       ok = totals.forall { case (g, n) => got.getOrElse(g, 0L) >= math.min(k, n) }
       if (!ok) margin *= 4
     }
+    // the cache existed for the validation loop's repeated counts; drop it
+    // before returning so library callers don't accumulate one pinned entry
+    // per distinct plan (ADVICE r2) — the caller's single downstream pass
+    // re-derives the md5 tower once, against an uncached scan
+    docs.unpersist()
     survivors.drop("cut")
   }
 
@@ -468,8 +473,15 @@ object TextQueries {
     survivors
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= ScheduleK)
+      // DATA CONTRACT (ADVICE r2): mixture weights derive from the source
+      // naming scheme `src<N>` (the stand-in for a mixture config). A
+      // source that doesn't parse would silently weight NULL and mis-rank
+      // the schedule — fail loudly instead, in-plan, on the first bad name
       .withColumn("weight",
-        (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("int"))
+        when(substring(col("source"), 4, 10).cast("int").isNull,
+          raise_error(concat(lit("mixtureSchedule: source name not 'src<N>': "),
+            col("source"))).cast("int"))
+          .otherwise((substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("int")))
       .withColumn("pos", col("rn").cast("double") / col("weight").cast("double"))
       .orderBy(col("pos"), col("source"), col("doc_id"))
       .limit(ScheduleK.toInt)

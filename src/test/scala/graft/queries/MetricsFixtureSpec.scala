@@ -82,6 +82,53 @@ class MetricsFixtureSpec extends SparkTestBase {
     perKey.unpersist()
   }
 
+  test("trace-shaped stream (Spine_1000 interpolation): reference-threshold metrics") {
+    // VERDICT r2 item 7: accuracy numbers on REAL-trace-shaped tails, not
+    // closed-form zipf — per-key totals resample the committed trace's
+    // empirical distribution via the reference's own NewGen interpolation
+    val traffics = graft.data.ReferenceIO
+      .readCoflowJson(spark, "/root/reference/data/Spine_1000.json")
+      .select(col("traffic")).as[Double].collect()
+    assert(traffics.length === 1000)
+    val totals = graft.data.CorpusGenerator
+      .traceShapedTotals(spark, traffics, keys = 20000, partitions = 16).cache()
+    // tail-shape sanity: resampling preserves the trace's endpoints and sum scale
+    val mx = totals.agg(max(col("total")), sum(col("total"))).head()
+    assert(mx.getLong(0) === 42710L) // the trace's heaviest flow survives
+    assert(mx.getLong(1) > 5000000L && mx.getLong(1) < 8000000L) // ~20× trace mass
+    val stream = graft.data.CorpusGenerator.chunkedStream(totals, 500L)
+      .repartition(16)
+    val sk = stream.agg(cm_sketch(col("key"), col("w"), eps = 1e-4, delta = 0.01).as("sk"))
+    val perKey = totals
+      .select(col("key").as("k"), col("total").as("true_count"))
+      .crossJoin(broadcast(sk))
+      .select(col("k"), col("true_count"),
+        cm_query(col("sk"), col("k")).as("est"), cm_total(col("sk")).as("n"))
+      .cache()
+    // chunking preserved mass; CM never underestimates
+    assert(perKey.head().getAs[Long]("n") === mx.getLong(1))
+    assert(perKey.filter(col("est") < col("true_count")).count() === 0L)
+    // q11-shape: RelativeErrorOfTop at the reference's θ ∈ {0.005, 0.01}
+    for (theta <- Seq(0.005, 0.01)) {
+      val err = MetricQueries.relativeErrorOfTop(perKey, theta).head()
+        .getAs[Long]("avg_rel_err_micro")
+      assert(err <= 50000L, s"theta=$theta avg rel err micro=$err") // ≤5% on the trace tail
+    }
+    // q12-shape: ElephantCover ≥ 0.95 at θ=0.01 (reference CM-variant band)
+    val cover = MetricQueries.elephantCover(perKey, 0.01).head()
+    assert(cover.getAs[Long]("hit_rate_micro") >= 950000L,
+      s"hit rate ${cover.getAs[Long]("hit_rate_micro")}")
+    // q13-shape: HHFilter at the reference's φ ∈ {1/1000, 1/2000}
+    for (phiInv <- Seq(1000.0, 2000.0)) {
+      val r = MetricQueries.hhFilter(perKey, phiInv).head()
+      assert(r.getAs[Long]("hh_keys") > 0L)
+      assert(r.getAs[Long]("avg_rel_err_micro") <= 50000L,
+        s"phiInv=$phiInv err=${r.getAs[Long]("avg_rel_err_micro")}")
+    }
+    perKey.unpersist()
+    totals.unpersist()
+  }
+
   test("sampled-slice eps*N audit (north-star acceptance shape)") {
     val stream = StreamFixtures.zipfStream(100000, 10000, s = 1.05)
     val df = stream.toDF("k", "w").repartition(16)
