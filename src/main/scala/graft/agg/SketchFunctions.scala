@@ -78,6 +78,9 @@ object SketchFunctions {
     hllMemo.get(bytes, HyperLogLog.deserialize)
   private[agg] def decodeKllMemoized(bytes: Array[Byte]): KllSketch =
     kllMemo.get(bytes, KllSketch.deserialize)
+  private[agg] def decodeTopKMemoized(bytes: Array[Byte]): TopKSketch =
+    topkMemo.get(bytes, TopKSketch.deserialize)
+  private val topkMemo = new SketchMemo[TopKSketch]
   private val csMemo = new SketchMemo[CountSketch]
   private val mgMemo = new SketchMemo[MisraGries]
   private val fssMemo = new SketchMemo[FilteredSpaceSaving]

@@ -396,16 +396,23 @@ object AnnQueries {
   }
 
   /** q39: IVF recall audit against the in-gate brute-force exact top-5 —
-    * per query, |IVF top-5 ∩ exact top-5| / 5 must clear 0.6. Both sides
-    * break sim ties by neighbor id, so the comparison is deterministic;
-    * measured recall on the gate data is 0.8–1.0 (AnnSpec's clustered
-    * fixture asserts ≥ 0.9), the 0.6 bound leaves headroom for corpus
-    * regeneration without ever accepting a broken index (a wrong inverted
-    * list or centroid assignment collapses recall to ~0). The DuckDB twin
+    * per query, |IVF top-5 ∩ exact top-5| / 5 must clear 0.6 (≥3 hits).
+    * Both sides break sim ties by neighbor id, so the comparison is
+    * deterministic. The probe budget SCALES with the list count (nprobe ≈
+    * half the ~n/50 lists, floor 6): a fixed nprobe silently starves
+    * recall as n grows — measured per-query hits at nprobe=6 go
+    * {5,4,3,5,5} at 500 vectors (6/10 lists probed) but {4,4,0,2,1} at
+    * 2000 (6/40 lists). The synthetic corpus is near-isotropic, where IVF
+    * honestly needs dense probing (50% of lists → min 3/5 hits at both
+    * SFs, deterministic); on clusterable data the index earns its keep at
+    * low nprobe (AnnSpec's clustered fixture: recall ≥ 0.9 at nprobe 6).
+    * A broken index (wrong inverted list / centroid assignment) collapses
+    * recall to ~0 and fails the flag at any nprobe. The DuckDB twin
     * mirrors the query ids from data plus the per-query verdict. */
   def ivfRecallGate(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).cache()
-    val ivf = ivfTopKOn(emb, every = 50, nprobe = 6)
+    val nprobe = math.max(6, math.ceil(emb.count().toDouble / 50.0 / 2.0).toInt)
+    val ivf = ivfTopKOn(emb, every = 50, nprobe = nprobe)
       .select(col("query_id"), col("neighbor_id"))
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

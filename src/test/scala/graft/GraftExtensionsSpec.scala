@@ -34,6 +34,26 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlRows.getLong(0) === truth)
   }
 
+  test("topk_entries_sketch over topk_sketch_fast == udaf build + udf listing") {
+    installed; fixture()
+    val sqlRows = spark.sql(
+      """SELECT e.key, e.est FROM (
+        |  SELECT explode(topk_entries_sketch(sk, 10)) AS e FROM
+        |    (SELECT topk_sketch_fast(k, w) AS sk FROM ext_fixture))""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    val scalaRows = spark.table("ext_fixture")
+      .agg(cm_topk(col("k"), col("w"), capacity = 4096, eps = 1e-4).as("sk"))
+      .select(explode(topk_entries(col("sk"), 10)).as("e"))
+      .select(col("e.key"), col("e.est")).as[(String, Long)].collect().toSeq
+    assert(sqlRows === scalaRows)
+    assert(sqlRows.length === 10)
+    // exact regime: estimates equal the true sums
+    val truth = spark.table("ext_fixture").groupBy("k").agg(sum("w").as("t"))
+      .orderBy(desc("t"), asc("k")).limit(10)
+      .as[(String, Long)].collect().toSeq
+    assert(sqlRows === truth)
+  }
+
   test("literal eps/delta/seed arguments change the sketch deterministically") {
     installed; fixture()
     val a = spark.sql(
