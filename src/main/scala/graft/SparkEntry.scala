@@ -96,7 +96,14 @@ object SparkEntry {
     "q53_range_join" -> RangeJoin.nearbyEventPairs _,
     "q54_sessionize" -> Sessionize.sessionStats _,
     "q55_ngram_jaccard_prefix" -> TextQueries.ngramJaccardHigh _,
-    "q56_fingerprint_join" -> TextQueries.fingerprintJoinParity _
+    "q56_fingerprint_join" -> TextQueries.fingerprintJoinParity _,
+    // q57/q58: the hot-key-safe salted twins are row-identical to the
+    // unsalted operators by construction, so they share the q54/q52 oracle
+    // SQL verbatim — the gate thereby pins the salted plans against
+    // DuckDB's independent window/ASOF implementations end-to-end.
+    "q57_sessionize_salted" -> ((s: SparkSession, d: String) =>
+      Sessionize.sessionStatsSalted(s, d)),
+    "q58_asof_salted" -> AsOfJoin.purchaseAttributionSalted _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -600,6 +607,33 @@ object SparkEntry {
         |    AS bigint) AS avg_duration_us
         |FROM per_session""".stripMargin,
 
+    "q57_sessionize_salted" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |flags AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sess AS (
+        |  SELECT user_id, tus,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags),
+        |per_session AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    max(tus) - min(tus) AS dur_us
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT cast(count(*) AS bigint) AS n_sessions,
+        |  cast(count(*) FILTER (WHERE n_events = 1) AS bigint)
+        |    AS singleton_sessions,
+        |  cast(floor(cast(sum(n_events) AS double) * 1000.0
+        |    / cast(count(*) AS double)) AS bigint) AS avg_events_milli,
+        |  cast(max(dur_us) AS bigint) AS max_duration_us,
+        |  cast(floor(cast(sum(dur_us) AS double) / cast(count(*) AS double))
+        |    AS bigint) AS avg_duration_us
+        |FROM per_session""".stripMargin,
+
     // q53: the oracle runs the band join as a native inequality join
     // (DuckDB IEJoin) — independent of our bin-bucketed equi-join plan.
     "q53_range_join" ->
@@ -615,6 +649,19 @@ object SparkEntry {
     // composition. Gap sums stay exact integer microseconds until the one
     // double division (identical operands both engines).
     "q52_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click')
+        |SELECT count(*) AS n_purchases,
+        |  count(cts) AS n_attributed,
+        |  cast(floor(cast(sum(epoch_us(ts) - epoch_us(cts)) AS double)
+        |    / cast(count(cts) AS double)) AS bigint) AS avg_gap_us,
+        |  cast(max(epoch_us(ts) - epoch_us(cts)) AS bigint) AS max_gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin,
+
+    "q58_asof_salted" ->
       """WITH p AS (
         |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (

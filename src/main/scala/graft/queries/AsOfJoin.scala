@@ -101,13 +101,25 @@ object AsOfJoin {
     * are integer-exact and tie-insensitive (equal-timestamp click ties
     * share the same gap): attribution rate and gap statistics in exact
     * microsecond longs, summed as longs before the single double division. */
-  def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+  def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    purchaseAttributionVia(spark, sfDir, asOf(_, _, "user_id", "ts", Seq("ts")))
+
+  /** q58: the same attribution through the hot-key-safe salted as-of path
+    * (6-hour buckets) — same oracle as q52 because the result is
+    * row-identical by construction (HotKeySpec pins the general property;
+    * the gate pins it against DuckDB's native ASOF join end-to-end). */
+  def purchaseAttributionSalted(spark: SparkSession, sfDir: String): DataFrame =
+    purchaseAttributionVia(spark, sfDir,
+      asOfSalted(_, _, "user_id", "ts", Seq("ts"), bucketUs = 21600000000L))
+
+  private def purchaseAttributionVia(spark: SparkSession, sfDir: String,
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"))
-    val joined = asOf(purchases, clicks, "user_id", "ts", Seq("ts"))
+    val joined = join(purchases, clicks)
       .select(col("ts"), col("asof.ts").as("cts"))
       .withColumn("gap_us",
         // events.ts is TIMESTAMP_NTZ; the cast is identity under the
