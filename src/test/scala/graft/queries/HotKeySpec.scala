@@ -63,6 +63,32 @@ class HotKeySpec extends SparkTestBase {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("salted as-of edge cases: keys with no right rows, rights after lefts") {
+    val left = Seq(
+      ("norights", 1L, 1000000L),     // key with zero right rows anywhere
+      ("lateright", 2L, 1000000L),    // left precedes the key's only right
+      ("lateright", 3L, 9000000000L), // left after the right (different bucket)
+      ("carry", 4L, 7200000001L)      // right sits 2 buckets earlier
+    ).toDF("user_id", "event_id", "tus")
+      .withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+    val right = Seq(
+      ("lateright", 5000000L),
+      ("carry", 500000L)
+    ).toDF("user_id", "rtus")
+      .withColumn("ts", timestamp_micros(col("rtus"))).drop("rtus")
+    for (out <- Seq(
+        AsOfJoin.asOf(left, right, "user_id", "ts", Seq("ts")),
+        AsOfJoin.asOfSalted(left, right, "user_id", "ts", Seq("ts"), BucketUs))) {
+      val got = out.select(col("event_id"), col("asof.ts").as("ats"))
+        .as[(Long, Option[java.sql.Timestamp])].collect().sortBy(_._1)
+      assert(got.length === 4)
+      assert(got(0)._2.isEmpty, "no-right key must get null asof")
+      assert(got(1)._2.isEmpty, "left before the only right must get null asof")
+      assert(got(2)._2.map(_.getTime) === Some(5000L), "left after right joins it")
+      assert(got(3)._2.map(_.getTime) === Some(500L), "carry-in across empty buckets")
+    }
+  }
+
   test("salted as-of join plans its per-event window on (key, bucket)") {
     val base = events.withColumn("ts", timestamp_micros(col("tus")))
     val left = base.select(col("user_id"), col("event_id"), col("ts"))
