@@ -89,6 +89,45 @@ class HotKeySpec extends SparkTestBase {
     }
   }
 
+  test("randomized parity: salted == unsalted over seeded boundary-heavy fixtures") {
+    // 8 seeded random fixtures, timestamps biased onto bucket edges and
+    // exact 30-min session gaps (the stitch math's boundary cases), with
+    // duplicate timestamps per user
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val rows = (1 to 800).map { i =>
+        val user = s"u${rnd.nextInt(5)}"
+        val base = rnd.nextInt(12) * BucketUs // bucket edge
+        val off = rnd.nextInt(5) match {
+          case 0 => 0L                         // exactly on the edge
+          case 1 => 1800000000L                // exactly one gap width in
+          case 2 => BucketUs - 1L              // last micro of the bucket
+          case _ => math.abs(rnd.nextLong()) % BucketUs
+        }
+        (user, i.toLong, base + off)
+      }.toDF("user_id", "event_id", "tus").repartition(7)
+      val plain = Sessionize.sessionIds(rows)
+        .select("user_id", "event_id", "sid").as[(String, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      val salted = Sessionize.sessionIdsSalted(rows, BucketUs)
+        .select("user_id", "event_id", "sid").as[(String, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(salted === plain, s"sessionize seed=$seed")
+
+      val base = rows.withColumn("ts", timestamp_micros(col("tus")))
+      val left = base.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val right = base.filter(col("event_id") % 2 === 1).select(col("user_id"), col("ts"))
+      val p = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("ts"))
+        .select(col("event_id"), col("asof.ts").as("ats"))
+        .as[(Long, Option[java.sql.Timestamp])].collect().sortBy(_._1).toSeq
+      val sl = AsOfJoin.asOfSalted(left, right, "user_id", "ts", Seq("ts"), BucketUs)
+        .select(col("event_id"), col("asof.ts").as("ats"))
+        .as[(Long, Option[java.sql.Timestamp])].collect().sortBy(_._1).toSeq
+      assert(sl === p, s"asof seed=$seed")
+    }
+  }
+
   test("salted as-of join plans its per-event window on (key, bucket)") {
     val base = events.withColumn("ts", timestamp_micros(col("tus")))
     val left = base.select(col("user_id"), col("event_id"), col("ts"))
