@@ -178,11 +178,15 @@ object TextQueries {
     * the first |x|−⌈t·|x|⌉+1 tokens, so at t=0.05 it is ~95% of every doc —
     * candidate volume barely drops while the df pass, the per-doc
     * (df, token) sort and two extra shuffles are all added cost (measured
-    * round 2: 7.8 s → 35.7 s at sf0.1). Candidate volume scales ~(1−t)² of
-    * all-pairs BEFORE the df-ordering effect, which only bites when the
-    * prefix is short enough to live in the rare-token tail. t = 0.2 (prefix
-    * ≤ 80%, rare-first ordering meaningful) is where the measured crossover
-    * sits on zipf-shaped token dfs. */
+    * round 2: 7.8 s → 35.7 s at sf0.1). The cutover is an ANALYTIC
+    * heuristic for the large-block regime where the Ω(block²) tiled join
+    * dominates the prefix path's fixed passes: candidate volume scales
+    * ~(1−t)² of all-pairs before the df-ordering effect, which only bites
+    * once the prefix is short enough (≤80% at t=0.2) to live in the
+    * rare-token tail. At gate scale (≤250-doc blocks) the tiled join wins
+    * at every threshold — both paths stay oracle-green and row-identical
+    * at any t (JaccardJoinSpec), so the cutover tunes cost, never
+    * results. */
   private val PrefixCutoverMicro = 200000L
 
   /** Exact within-`source` word-bigram Jaccard join at threshold
