@@ -122,7 +122,8 @@ object Bench {
     // the full window makes the min attributable. clearCache stays OUTSIDE
     // the timed region so each run pays its own internal persists and none
     // inherits another's.
-    val gateCycles = sys.env.getOrElse("SPARK_GRAFT_GATE_CYCLES", "3").toInt
+    val gateCycles =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_GATE_CYCLES", "3").toInt)
     val gate = SparkEntry.queries.toSeq.sortBy(_._1)
     def runOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val (ok, sec) = time {

@@ -117,6 +117,50 @@ object SparkEntry {
     * reference's hand-traced fixture — any SQL twin would have to replay
     * the same stream order, i.e. be the same computation, so a twin is
     * genuinely meaningless there; FrequentItemsSpec covers it. */
+  /** q54/q57 and q52/q58 share ONE oracle string: the salted twins are
+    * row-identical to the unsalted operators by construction, and binding
+    * the SQL once makes that sharing structural — an edit to the operator
+    * definition cannot desynchronize the two gates. */
+  private val SessionizeOracleSql: String =
+    """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |flags AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sess AS (
+        |  SELECT user_id, tus,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags),
+        |per_session AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    max(tus) - min(tus) AS dur_us
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT cast(count(*) AS bigint) AS n_sessions,
+        |  cast(count(*) FILTER (WHERE n_events = 1) AS bigint)
+        |    AS singleton_sessions,
+        |  cast(floor(cast(sum(n_events) AS double) * 1000.0
+        |    / cast(count(*) AS double)) AS bigint) AS avg_events_milli,
+        |  cast(max(dur_us) AS bigint) AS max_duration_us,
+        |  cast(floor(cast(sum(dur_us) AS double) / cast(count(*) AS double))
+        |    AS bigint) AS avg_duration_us
+        |FROM per_session""".stripMargin
+
+  private val AsOfOracleSql: String =
+    """WITH p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click')
+        |SELECT count(*) AS n_purchases,
+        |  count(cts) AS n_attributed,
+        |  cast(floor(cast(sum(epoch_us(ts) - epoch_us(cts)) AS double)
+        |    / cast(count(cts) AS double)) AS bigint) AS avg_gap_us,
+        |  cast(max(epoch_us(ts) - epoch_us(cts)) AS bigint) AS max_gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q38_curation_pipeline" ->
       """WITH RECURSIVE toks0 AS (
@@ -580,59 +624,9 @@ object SparkEntry {
     // q54: the oracle replays the same lag→flag→running-sum window chain
     // with the same (tus, event_id) tie-break; integer sums feed the two
     // double divisions with identical operands.
-    "q54_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
-        |flags AS (
-        |  SELECT user_id, event_id, tus,
-        |    CASE WHEN lag(tus) OVER w IS NULL
-        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |sess AS (
-        |  SELECT user_id, tus,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flags),
-        |per_session AS (
-        |  SELECT user_id, sid, count(*) AS n_events,
-        |    max(tus) - min(tus) AS dur_us
-        |  FROM sess GROUP BY 1, 2)
-        |SELECT cast(count(*) AS bigint) AS n_sessions,
-        |  cast(count(*) FILTER (WHERE n_events = 1) AS bigint)
-        |    AS singleton_sessions,
-        |  cast(floor(cast(sum(n_events) AS double) * 1000.0
-        |    / cast(count(*) AS double)) AS bigint) AS avg_events_milli,
-        |  cast(max(dur_us) AS bigint) AS max_duration_us,
-        |  cast(floor(cast(sum(dur_us) AS double) / cast(count(*) AS double))
-        |    AS bigint) AS avg_duration_us
-        |FROM per_session""".stripMargin,
+    "q54_sessionize" -> SessionizeOracleSql,
 
-    "q57_sessionize_salted" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
-        |flags AS (
-        |  SELECT user_id, event_id, tus,
-        |    CASE WHEN lag(tus) OVER w IS NULL
-        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |sess AS (
-        |  SELECT user_id, tus,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flags),
-        |per_session AS (
-        |  SELECT user_id, sid, count(*) AS n_events,
-        |    max(tus) - min(tus) AS dur_us
-        |  FROM sess GROUP BY 1, 2)
-        |SELECT cast(count(*) AS bigint) AS n_sessions,
-        |  cast(count(*) FILTER (WHERE n_events = 1) AS bigint)
-        |    AS singleton_sessions,
-        |  cast(floor(cast(sum(n_events) AS double) * 1000.0
-        |    / cast(count(*) AS double)) AS bigint) AS avg_events_milli,
-        |  cast(max(dur_us) AS bigint) AS max_duration_us,
-        |  cast(floor(cast(sum(dur_us) AS double) / cast(count(*) AS double))
-        |    AS bigint) AS avg_duration_us
-        |FROM per_session""".stripMargin,
+    "q57_sessionize_salted" -> SessionizeOracleSql,
 
     // q53: the oracle runs the band join as a native inequality join
     // (DuckDB IEJoin) — independent of our bin-bucketed equi-join plan.
@@ -648,31 +642,9 @@ object SparkEntry {
     // first-class implementation cross-checking our union-tag + window
     // composition. Gap sums stay exact integer microseconds until the one
     // double division (identical operands both engines).
-    "q52_asof_attribution" ->
-      """WITH p AS (
-        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click')
-        |SELECT count(*) AS n_purchases,
-        |  count(cts) AS n_attributed,
-        |  cast(floor(cast(sum(epoch_us(ts) - epoch_us(cts)) AS double)
-        |    / cast(count(cts) AS double)) AS bigint) AS avg_gap_us,
-        |  cast(max(epoch_us(ts) - epoch_us(cts)) AS bigint) AS max_gap_us
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin,
+    "q52_asof_attribution" -> AsOfOracleSql,
 
-    "q58_asof_salted" ->
-      """WITH p AS (
-        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click')
-        |SELECT count(*) AS n_purchases,
-        |  count(cts) AS n_attributed,
-        |  cast(floor(cast(sum(epoch_us(ts) - epoch_us(cts)) AS double)
-        |    / cast(count(cts) AS double)) AS bigint) AS avg_gap_us,
-        |  cast(max(epoch_us(ts) - epoch_us(cts)) AS bigint) AS max_gap_us
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin,
+    "q58_asof_salted" -> AsOfOracleSql,
 
     // q51: bigrams with multiplicity (range/t[i] indexing matches Spark's
     // zip_with-of-slices pairing); micros floored per doc before the

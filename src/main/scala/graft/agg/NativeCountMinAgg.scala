@@ -61,14 +61,7 @@ case class NativeCountMinAgg(
       // zero-copy, zero-alloc: hash the UTF8String bytes in place with
       // Spark's XXH64 (bit-identical to graft.sketch.XxHash64 — parity
       // pinned in HashingSpec), same double-hash halves as Hash128.ofBytes
-      val base = utf8.getBaseObject
-      val off = utf8.getBaseOffset
-      val n = utf8.numBytes
-      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(base, off, n, seed ^ Hash128.Seed1)
-      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(base, off, n, seed ^ Hash128.Seed2)
-      buffer.updateRaw(h1, h2, weight)
+      buffer.updateRaw(Utf8Hash.h1(utf8, seed), Utf8Hash.h2(utf8, seed), weight)
     }
     buffer
   }

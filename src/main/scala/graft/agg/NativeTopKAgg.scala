@@ -59,16 +59,10 @@ case class NativeTopKAgg(
       val w = right.eval(input)
       val weight = if (w == null) 1L else w.asInstanceOf[Number].longValue
       val utf8 = k.asInstanceOf[UTF8String]
-      val base = utf8.getBaseObject
-      val off = utf8.getBaseOffset
-      val n = utf8.numBytes
-      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(base, off, n, seed ^ Hash128.Seed1)
-      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(base, off, n, seed ^ Hash128.Seed2)
       // the thunk runs synchronously inside updateRaw (before the row
       // buffer can be reused), see TopKSketch.updateRaw's contract
-      buffer.updateRaw(h1, h2, weight, () => utf8.toString)
+      buffer.updateRaw(Utf8Hash.h1(utf8, seed), Utf8Hash.h2(utf8, seed),
+        weight, () => utf8.toString)
     }
     buffer
   }

@@ -23,6 +23,20 @@ import graft.sketch.{CountMinSketch, Hash128}
  * calls + a d-step min-loop; fallback costs one virtual call per row and
  * keeps the expression version-portable (no generated-source maintenance).
  */
+/** The ONE definition of the zero-copy UTF8String double-hash (seed
+  * derivation `seed ^ Seed1/Seed2` must stay bit-identical to
+  * `Hash128.ofString` — parity pinned in HashingSpec). Shared by the
+  * native build aggregates and the scalar probe expressions so the
+  * arithmetic can never drift between copies. */
+private[agg] object Utf8Hash {
+  @inline def h1(utf8: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(utf8.getBaseObject, utf8.getBaseOffset,
+      utf8.numBytes, seed ^ Hash128.Seed1)
+  @inline def h2(utf8: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(utf8.getBaseObject, utf8.getBaseOffset,
+      utf8.numBytes, seed ^ Hash128.Seed2)
+}
+
 case class CmQuerySketch(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
@@ -39,11 +53,7 @@ case class CmQuerySketch(left: Expression, right: Expression)
   override protected def nullSafeEval(sk: Any, key: Any): Any = {
     val cm = SketchFunctions.decodeCmMemoized(sk.asInstanceOf[Array[Byte]])
     val utf8 = key.asInstanceOf[UTF8String]
-    val h1 = XXH64.hashUnsafeBytes(
-      utf8.getBaseObject, utf8.getBaseOffset, utf8.numBytes, cm.seed ^ Hash128.Seed1)
-    val h2 = XXH64.hashUnsafeBytes(
-      utf8.getBaseObject, utf8.getBaseOffset, utf8.numBytes, cm.seed ^ Hash128.Seed2)
-    cm.query(Hash128(h1, h2))
+    cm.queryRaw(Utf8Hash.h1(utf8, cm.seed), Utf8Hash.h2(utf8, cm.seed))
   }
 
   override protected def withNewChildrenInternal(

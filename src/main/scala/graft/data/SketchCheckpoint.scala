@@ -45,16 +45,19 @@ object SketchCheckpoint {
     if (!Files.exists(mdir)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(mdir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("commit-"))
-        .flatMap { p =>
-          val snapId = p.getFileName.toString.stripPrefix("commit-").toInt
-          Files.readAllLines(p).asScala.map { line =>
-            val parts = line.trim.split(",")
-            (snapId, parts(0).toInt, if (parts.length > 1) parts(1).toLong else 0L)
+      val stream = Files.list(mdir)
+      try {
+        stream.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("commit-"))
+          .flatMap { p =>
+            val snapId = p.getFileName.toString.stripPrefix("commit-").toInt
+            Files.readAllLines(p).asScala.map { line =>
+              val parts = line.trim.split(",")
+              (snapId, parts(0).toInt, if (parts.length > 1) parts(1).toLong else 0L)
+            }
           }
-        }
-        .toSeq
+          .toSeq
+      } finally stream.close()
     }
   }
 

@@ -33,13 +33,16 @@ object DedupClusterQuery {
     if (!Files.exists(p)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(p).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("commit-"))
-        .map { f =>
-          val round = f.getFileName.toString.stripPrefix("commit-").toInt
-          (round, Files.readAllLines(f).get(0).trim.toLong)
-        }
-        .toSeq.sortBy(_._1)
+      val stream = Files.list(p)
+      try {
+        stream.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("commit-"))
+          .map { f =>
+            val round = f.getFileName.toString.stripPrefix("commit-").toInt
+            (round, Files.readAllLines(f).get(0).trim.toLong)
+          }
+          .toSeq.sortBy(_._1)
+      } finally stream.close()
     }
   }
 
@@ -88,6 +91,10 @@ object DedupClusterQuery {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).count()
+      // release the superseded round's storage eagerly (cache entries and
+      // localCheckpoint blocks otherwise wait for ContextCleaner GC — at
+      // 10⁹ nodes that is up to maxRounds full label frames pinned)
+      labels.unpersist()
       labels = next
       round += 1
       steps += 1

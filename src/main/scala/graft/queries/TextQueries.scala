@@ -239,7 +239,13 @@ object TextQueries {
     * ~G²/2× per block. The size-ratio prune is integer-exact:
     * J ≥ t ⟹ t ≤ min/max ⟹ 10⁶·min(|x|,|y|) ≥ t·10⁶·max. */
   private[queries] def ngramJaccardTiled(spark: SparkSession, sfDir: String, tMicro: Long): DataFrame = {
-    val pairs = PairTiling.allPairs(bigramDocs(spark, sfDir), "doc_id",
+    // persisted: PairTiling's left and right replication branches both read
+    // it — uncached, the split/zip/hash bigram tower runs twice per pass
+    // (cache lifecycle per the priorityStratumSurvivors note; gate runners
+    // clearCache between queries)
+    val docs = bigramDocs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = PairTiling.allPairs(docs, "doc_id",
         Seq("source"), g = JaccardTileG)
       .filter(least(col("n_a"), col("n_b")) * 1000000L >=
         greatest(col("n_a"), col("n_b")) * tMicro)
@@ -691,11 +697,14 @@ object TextQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joined = fingerprintPairs(rare)
     // soundness over the FULL corpus: emitted pairs must truly overlap
+    // coalesce: sum() over ZERO pairs is NULL, and `0 === NULL` would report
+    // a vacuously-sound empty join as unsound (review r3 finding)
     val soundOk = joined
       .join(rareSets.select(col("doc_id").as("id_a"), col("fps").as("fps_a")), Seq("id_a"))
       .join(rareSets.select(col("doc_id").as("id_b"), col("fps").as("fps_b")), Seq("id_b"))
-      .agg(when(count(lit(1)) ===
+      .agg(when(count(lit(1)) === coalesce(
         sum(when(arrays_overlap(col("fps_a"), col("fps_b")), 1L).otherwise(0L)),
+        lit(0L)),
         1L).otherwise(0L).as("sound_ok"))
     // exact completeness parity on a bounded deterministic subset
     val divisor = math.max(1L, n / 1024L)
