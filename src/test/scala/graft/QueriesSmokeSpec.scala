@@ -22,6 +22,27 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("parity/audit gate verdicts hold at sf0.001") {
+    // the smoke `n >= 0` check would let a 0-verdict row slide; the
+    // audits' whole point is the flag, so pin it at test time too
+    val checks = Seq(
+      ("q17_dedup_simhash", "parity_ok"),
+      ("q23_fingerprints", "guarantee_ok"),
+      ("q26_lsh_buckets", "locality_ok"),
+      ("q56_fingerprint_join", "parity_ok"),
+      ("q56_fingerprint_join", "sound_ok"))
+    for ((q, c) <- checks) {
+      val v = SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .select(c).head().getLong(0)
+      assert(v === 1L, s"$q.$c")
+      spark.catalog.clearCache()
+    }
+    val rec = SparkEntry.queries("q39_ann_ivf")(spark, sf("sf0.001"))
+      .select("recall_ok").collect().map(_.getLong(0))
+    assert(rec.length === 5 && rec.forall(_ == 1L), rec.mkString(","))
+    spark.catalog.clearCache()
+  }
+
   test("stratified sample equals the naive full-stratum rank (q47)") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
