@@ -408,7 +408,9 @@ object AnnQueries {
     * low nprobe (AnnSpec's clustered fixture: recall ≥ 0.9 at nprobe 6).
     * A broken index (wrong inverted list / centroid assignment) collapses
     * recall to ~0 and fails the flag at any nprobe. The DuckDB twin
-    * mirrors the query ids from data plus the per-query verdict. */
+    * mirrors the query ids from data plus the per-query verdict. Builder
+    * runs one count() action to size nprobe (the accepted scalar-action-at-
+    * build-time pattern). */
   def ivfRecallGate(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).cache()
     val nprobe = math.max(6, math.ceil(emb.count().toDouble / 50.0 / 2.0).toInt)

@@ -681,7 +681,11 @@ object TextQueries {
     *    (80% of gate wall time) at sf0.1; completeness of the join does
     *    not vary by doc (same explode/join/distinct machinery), so
     *    subset-exact parity + full-corpus soundness is the audit that
-    *    scales. */
+    *    scales.
+    *
+    * Builder runs one count() action to size the subset divisor (the
+    * accepted cm_probe/metric-gate pattern: a scalar action at plan-build
+    * time, constant cost at any scale). */
   def fingerprintJoinParity(spark: SparkSession, sfDir: String): DataFrame = {
     val fpUdf = udf((text: String) => TextAnalysis.fingerprints(text))
     val docs = Tables.documents(spark, sfDir)
