@@ -72,6 +72,50 @@ class StreamingSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(got, single.serialize()))
   }
 
+  test("native Catalyst aggregates in streaming micro-batches == batch build") {
+    // the TypedImperativeAggregate tier (cm_sketch_fast / topk_sketch_fast)
+    // must behave in streaming groupBy().agg() exactly like the udaf tier —
+    // partial buffers serialize through the sketch binary layout across
+    // micro-batch state, so the final sketch equals a single-pass build
+    implicit val sqlCtx = spark.sqlContext
+    graft.agg.NativeCountMinAgg.register(spark, eps = 1e-3, delta = 0.01)
+    graft.agg.NativeTopKAgg.register(spark, capacity = 2048, eps = 1e-3, delta = 0.01)
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("k", "w")
+      .agg(expr("cm_sketch_fast(k, w)").as("cm"),
+        expr("topk_sketch_fast(k, w)").as("tk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("native_stream")
+      .start()
+    val stream = graft.sketch.StreamFixtures.weightedZipfStream(20000, 1000)
+    stream.grouped(7000).foreach { batch =>
+      mem.addData(batch)
+      q.processAllAvailable()
+    }
+    val row = spark.sql("SELECT cm, tk FROM native_stream").head()
+    q.stop()
+    val cmSingle = CountMinSketch.fromErrorBounds(1e-3, 0.01)
+    stream.foreach { case (k, w) => cmSingle.update(k, w) }
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("cm"), cmSingle.serialize()))
+    // topk twin = the BATCH native build over the same rows: a sequential
+    // kernel loop stores each key's estimate AT LAST TOUCH, while every
+    // merge re-estimates candidates against the merged CM — so the
+    // streaming result (state merge per micro-batch) matches the batch
+    // aggregation (partial/final merge), not the raw loop. With capacity ≥
+    // keyspace no trim happens, so merge shape can't change the set either.
+    val tk = graft.sketch.TopKSketch.deserialize(row.getAs[Array[Byte]]("tk"))
+    val tkBatch = graft.sketch.TopKSketch.deserialize(
+      stream.toDF("k", "w").repartition(8)
+        .agg(expr("topk_sketch_fast(k, w)").as("tk"))
+        .head().getAs[Array[Byte]]("tk"))
+    assert(tk.totalWeight === tkBatch.totalWeight)
+    assert(tk.topK(2048).toSeq === tkBatch.topK(2048).toSeq)
+    // and the listing's estimates equal final-CM point queries (candidate
+    // set complete at this capacity; CM equality proven above)
+    val listed = tk.topK(2048).toMap
+    assert(listed.forall { case (k, est) => est == cmSingle.query(k) })
+  }
+
   test("hll_sketch per-group streaming distinct counts (update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
