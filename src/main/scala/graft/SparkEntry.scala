@@ -103,7 +103,8 @@ object SparkEntry {
     // DuckDB's independent window/ASOF implementations end-to-end.
     "q57_sessionize_salted" -> ((s: SparkSession, d: String) =>
       Sessionize.sessionStatsSalted(s, d)),
-    "q58_asof_salted" -> AsOfJoin.purchaseAttributionSalted _
+    "q58_asof_salted" -> AsOfJoin.purchaseAttributionSalted _,
+    "q59_contamination" -> TextQueries.contaminationScreen _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -377,6 +378,26 @@ object SparkEntry {
     "q26_lsh_buckets" ->
       """SELECT count(*) AS n_vectors, cast(1 AS bigint) AS locality_ok
         |FROM embeddings""".stripMargin,
+
+    // q59: bloom is a prefilter only — exact shingle-join semantics
+    "q59_contamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(list_slice(t, i, i + 7), ' ')) END AS s FROM toks),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT DISTINCT c.doc_id, c.source
+        |  FROM (SELECT doc_id, source, unnest(s) AS g FROM sh WHERE doc_id % 20 != 0) c
+        |  JOIN bench b ON c.g = b.g),
+        |totals AS (SELECT source, count(*) AS n_docs FROM sh
+        |  WHERE doc_id % 20 != 0 GROUP BY source)
+        |SELECT t.source, t.n_docs,
+        |  cast(coalesce(h.c, 0) AS bigint) AS contaminated_docs
+        |FROM totals t LEFT JOIN
+        |  (SELECT source, count(*) AS c FROM hits GROUP BY source) h
+        |  ON t.source = h.source
+        |ORDER BY t.source""".stripMargin,
     "q39_ann_ivf" ->
       """SELECT vec_id AS query_id, cast(1 AS bigint) AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,

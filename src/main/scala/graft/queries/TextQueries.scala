@@ -597,6 +597,64 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Word 8-gram shingles of a token array (the decontamination unit —
+    * long enough that a match means copied text, short enough to catch
+    * partial quotes). Docs under 8 tokens yield an empty array. */
+  private def wordShingles8(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(toks) < 8, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 7),
+        i => concat_ws(" ", slice(toks, i, lit(8)))))
+
+  /** q59: benchmark-contamination screen — the decontamination pass every
+    * training pipeline runs before a data release: which corpus documents
+    * contain text copied from a held-out benchmark set? Here the
+    * "benchmark" is every 20th document (deterministic, mirrored in the
+    * oracle, and — because the corpus plants near-duplicates — it actually
+    * catches copies: 5 flagged docs at sf0.001, 2 at sf0.01); the screen
+    * reports, per source, the total remaining docs and how many share ≥1
+    * word-8-gram with the benchmark.
+    *
+    * Scale shape (the C4 FilteredSketch pattern in its pipeline role): the
+    * benchmark shingle set rides to executors as a BLOOM filter (bits, not
+    * strings — at 100 TB the benchmark suite is millions of shingles and
+    * the bloom is ~KBs/M-shingles vs the set's GBs), every corpus shingle
+    * is pre-screened by `bloom_contains` inside the scan, and only the
+    * bloom-POSITIVE residue (fpp-bounded) reaches the exact broadcast-join
+    * verify — so the expensive equi-join sees ~fpp·|shingles| rows instead
+    * of all of them, while the final semantics stay EXACT (the bloom can
+    * only admit extra candidates, never drop a true match; one-sided
+    * error property-tested in HllBloomSpec). */
+  def contaminationScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        wordShingles8(split(col("text"), " ")).as("sh"))
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bloom of the benchmark shingles, broadcast as a one-row frame
+    val bloom = bench.agg(
+      graft.agg.SketchFunctions.bloom_sketch(col("s"), expectedItems = 100000L,
+        fpp = 0.01).as("bf"))
+    val corpusShingles = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("s"))
+      .join(broadcast(bloom))
+      .filter(graft.agg.SketchFunctions.bloom_contains(col("bf"), col("s")))
+      .select(col("doc_id"), col("source"), col("s"))
+    // exact verify of the bloom-positive residue only
+    val contaminated = corpusShingles
+      .join(broadcast(bench), Seq("s"))
+      .select(col("doc_id"), col("source"))
+      .distinct()
+    val totals = docs.filter(col("doc_id") % 20 =!= 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    totals
+      .join(contaminated.groupBy(col("source"))
+        .agg(count(lit(1)).as("contaminated_docs")), Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("contaminated_docs"), lit(0L)).as("contaminated_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Winnowing fingerprint census per document (library surface; the gate
     * checks the kernel's published guarantee via [[fingerprintGuarantee]]
     * and the join scale path via [[fingerprintJoinParity]]). */
