@@ -183,6 +183,18 @@ object SketchFunctions {
       if (k == null) -1L else bc.value.query(k)).apply(key)
   }
 
+  /** [[cm_probe]]'s Bloom twin: collect a finished 1-row Bloom sketch,
+    * broadcast the DECODED filter once per executor, return a membership
+    * Column builder. Same rationale: a `crossJoin(broadcast(bloomDF))`
+    * would copy the filter's bytes into EVERY probe row. */
+  def bloom_probe(sketchRow: org.apache.spark.sql.DataFrame): Column => Column = {
+    val bytes = sketchRow.head().getAs[Array[Byte]](0)
+    val bc = sketchRow.sparkSession.sparkContext
+      .broadcast(BloomFilter.deserialize(bytes))
+    key => functions.udf((k: String) =>
+      k != null && bc.value.mightContain(k)).apply(key)
+  }
+
   /** Like [[cm_probe]] but also exposes the sketch's total weight N. */
   def cm_probe_with_total(sketchRow: org.apache.spark.sql.DataFrame)
       : (Column => Column, Long) = {

@@ -631,15 +631,15 @@ object TextQueries {
     val bench = docs.filter(col("doc_id") % 20 === 0)
       .select(explode(col("sh")).as("s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bloom of the benchmark shingles, broadcast as a one-row frame
-    val bloom = bench.agg(
-      graft.agg.SketchFunctions.bloom_sketch(col("s"), expectedItems = 100000L,
-        fpp = 0.01).as("bf"))
+    // bloom of the benchmark shingles, broadcast as a DECODED filter (the
+    // cm_probe pattern — a crossJoin of the one-row sketch frame would
+    // copy the filter bytes into every probe row, the measured q28 disease)
+    val bloomHit = graft.agg.SketchFunctions.bloom_probe(
+      bench.agg(graft.agg.SketchFunctions.bloom_sketch(col("s"),
+        expectedItems = 100000L, fpp = 0.01).as("bf")))
     val corpusShingles = docs.filter(col("doc_id") % 20 =!= 0)
       .select(col("doc_id"), col("source"), explode(col("sh")).as("s"))
-      .join(broadcast(bloom))
-      .filter(graft.agg.SketchFunctions.bloom_contains(col("bf"), col("s")))
-      .select(col("doc_id"), col("source"), col("s"))
+      .filter(bloomHit(col("s")))
     // exact verify of the bloom-positive residue only
     val contaminated = corpusShingles
       .join(broadcast(bench), Seq("s"))
