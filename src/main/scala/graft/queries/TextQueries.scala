@@ -280,18 +280,22 @@ object TextQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = docs.select(col("source"), col("doc_id"), explode(col("bigrams")).as("bg"))
     val dfreq = ex.groupBy(col("bg")).agg(count(lit(1)).as("df"))
-    // prefix tokens per doc under the global (df, bg) order, with positions
-    val prefixes = ex.join(dfreq, Seq("bg"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("bg")))).as("ord"))
-      .select(col("source"), col("doc_id"), size(col("ord")).as("n"),
-        expr(s"slice(transform(ord, x -> x.bg), 1, " +
-          s"size(ord) - ((size(ord) * ${tMicro}L + 999999) div 1000000) + 1)")
-          .as("pref"))
+    // prefix tokens per doc under the global (df, bg) order, with 1-based
+    // positions — ONE window pass (rank + per-doc count share the keyed
+    // sort), no per-doc array build/sort/re-explode: the first cut's
+    // collect_list→sort_array→slice→posexplode materialized every doc's
+    // token list just to flatten it again
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("doc_id"))
+    val pe = ex.join(dfreq, Seq("bg"))
+      .withColumn("pos", row_number().over(wDoc.orderBy(col("df").asc, col("bg").asc)))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      // keep only the prefix: pos ≤ n − ⌈t·n⌉ + 1 (integer ceil; the div
+      // stays exact in double up to n·t ≈ 2⁵³)
+      .filter(col("pos") <=
+        col("n") - floor((col("n") * tMicro + 999999L) / 1000000.0).cast("long") + 1L)
+      .select(col("source"), col("doc_id"), col("n"), col("pos"), col("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pe = prefixes.select(col("source"), col("doc_id"), col("n"),
-      posexplode(col("pref")).as(Seq("pos0", "bg")))
-      .withColumn("pos", col("pos0") + 1).drop("pos0")
     val candidateIds = pe.select(col("source"), col("bg"),
         col("doc_id").as("id_a"), col("n").as("na"), col("pos").as("pa"))
       .join(pe.select(col("source"), col("bg"),
