@@ -290,10 +290,11 @@ object TextQueries {
     val pe = ex.join(dfreq, Seq("bg"))
       .withColumn("pos", row_number().over(wDoc.orderBy(col("df").asc, col("bg").asc)))
       .withColumn("n", count(lit(1)).over(wDoc))
-      // keep only the prefix: pos ≤ n − ⌈t·n⌉ + 1 (integer ceil; the div
-      // stays exact in double up to n·t ≈ 2⁵³)
+      // keep only the prefix: pos ≤ n − ⌈t·n⌉ + 1 (integer ceil via
+      // integer div — float floor would round up past quotients ~2³³ and
+      // shorten the prefix, voiding the recall-1 guarantee)
       .filter(col("pos") <=
-        col("n") - floor((col("n") * tMicro + 999999L) / 1000000.0).cast("long") + 1L)
+        col("n") - expr(s"(n * ${tMicro}L + 999999) div 1000000") + 1L)
       .select(col("source"), col("doc_id"), col("n"), col("pos"), col("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidateIds = pe.select(col("source"), col("bg"),
@@ -635,18 +636,25 @@ object TextQueries {
     val bench = docs.filter(col("doc_id") % 20 === 0)
       .select(explode(col("sh")).as("s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bloom of the benchmark shingles, broadcast as a DECODED filter (the
-    // cm_probe pattern — a crossJoin of the one-row sketch frame would
-    // copy the filter bytes into every probe row, the measured q28 disease)
+    // size the bloom from the ACTUAL benchmark cardinality (one count()
+    // at plan build, the accepted scalar-action pattern) — a fixed
+    // expectedItems would silently saturate to fpp≈1 once the benchmark
+    // outgrows it, turning the prefilter into a no-op (review r3 finding)
+    val benchCount = math.max(1024L, bench.count())
+    // broadcast as a DECODED filter (the cm_probe pattern — a crossJoin of
+    // the one-row sketch frame would copy the filter bytes into every
+    // probe row, the measured q28 disease)
     val bloomHit = graft.agg.SketchFunctions.bloom_probe(
       bench.agg(graft.agg.SketchFunctions.bloom_sketch(col("s"),
-        expectedItems = 100000L, fpp = 0.01).as("bf")))
+        expectedItems = benchCount, fpp = 0.01).as("bf")))
     val corpusShingles = docs.filter(col("doc_id") % 20 =!= 0)
       .select(col("doc_id"), col("source"), explode(col("sh")).as("s"))
       .filter(bloomHit(col("s")))
-    // exact verify of the bloom-positive residue only
+    // exact verify of the bloom-positive residue only — no broadcast hint:
+    // Spark broadcasts the bench side while it fits and falls back to a
+    // shuffle join when a real benchmark suite doesn't
     val contaminated = corpusShingles
-      .join(broadcast(bench), Seq("s"))
+      .join(bench, Seq("s"))
       .select(col("doc_id"), col("source"))
       .distinct()
     val totals = docs.filter(col("doc_id") % 20 =!= 0)

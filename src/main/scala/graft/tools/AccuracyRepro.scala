@@ -125,7 +125,7 @@ object AccuracyRepro {
     sb.append("Trace-shaped fixture: the WEIGHTED trace mass (Σw ≈ 6.5M over 20k\n")
     sb.append("flows) is exactly the regime where key-carrying designs (CountMax,\n")
     sb.append("FSS, SketchVisor) earn their accuracy — CM's additive collision mass\n")
-    sb.append("(≈Σw/w per counter) is comparable to the top-1%% boundary value at the\n")
+    sb.append("(≈Σw/w per counter) is comparable to the top-1% boundary value at the\n")
     sb.append("sweep's starved widths, so equal-memory CM+heap needs ~4× the width\n")
     sb.append("for the same hit rate (visible in the k=1000 column). That is the\n")
     sb.append("known CM-vs-majority-vote trade the reference's paper measures; at the\n")
