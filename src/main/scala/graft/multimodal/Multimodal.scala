@@ -58,6 +58,41 @@ object Multimodal {
     if (durationMs <= 0) Array(0)
     else Array.tabulate(math.min(maxFrames, math.max(1, (durationMs / 1000).toInt)))(identity)
 
+  /** Bilinear RESIZE of a row-major float grid — unlike the codec, resize
+    * is pure geometry on the decoded grid and therefore fully REAL here
+    * (not stubbed): output pixel (i, j) samples the input at the standard
+    * align-corners fractional coordinates with bilinear weights. Used
+    * between decode and feature extraction in a production pipeline; the
+    * grid can be an image plane, a spectrogram, or a video frame. */
+  def resizeBilinear(grid: Array[Float], w: Int, h: Int,
+      ow: Int, oh: Int): Array[Float] = {
+    require(w >= 1 && h >= 1 && ow >= 1 && oh >= 1 && grid.length == w * h,
+      s"bad grid: ${grid.length} vs ${w}x$h -> ${ow}x$oh")
+    val out = new Array[Float](ow * oh)
+    val sx = if (ow == 1) 0.0 else (w - 1).toDouble / (ow - 1)
+    val sy = if (oh == 1) 0.0 else (h - 1).toDouble / (oh - 1)
+    var j = 0
+    while (j < oh) {
+      val fy = j * sy
+      val y0 = math.floor(fy).toInt
+      val y1 = math.min(h - 1, y0 + 1)
+      val wy = fy - y0
+      var i = 0
+      while (i < ow) {
+        val fx = i * sx
+        val x0 = math.floor(fx).toInt
+        val x1 = math.min(w - 1, x0 + 1)
+        val wx = fx - x0
+        val top = grid(y0 * w + x0) * (1 - wx) + grid(y0 * w + x1) * wx
+        val bot = grid(y1 * w + x0) * (1 - wx) + grid(y1 * w + x1) * wx
+        out(j * ow + i) = (top * (1 - wy) + bot * wy).toFloat
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
   /** Batched decode + mean-pool over sampled frames. Runs per partition —
     * no shuffle, codec state amortized across a partition's rows (the
     * mapInPandas batch-shape contract). */
