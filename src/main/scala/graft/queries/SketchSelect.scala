@@ -66,7 +66,10 @@ object SketchSelect {
     if (k <= ExactLimitMinFloor) exact
     else {
       val n = if (knownN >= 0) knownN else df.count()
-      if (k <= exactLimitMaxK(n)) exact
+      // the exact path must also clear limit()'s Int argument: at n beyond
+      // ~4.4e12, n/1000 passes 2^31 and k.toInt would flip negative — route
+      // those k to the sketch path, whose arithmetic is Long throughout
+      if (k <= exactLimitMaxK(n) && k <= Int.MaxValue.toLong) exact
       else sketchTopK(df, measureCol, keyCol, k, knownN = n)
     }
   }
