@@ -104,7 +104,16 @@ object SparkEntry {
     "q57_sessionize_salted" -> ((s: SparkSession, d: String) =>
       Sessionize.sessionStatsSalted(s, d)),
     "q58_asof_salted" -> AsOfJoin.purchaseAttributionSalted _,
-    "q59_contamination" -> TextQueries.contaminationScreen _
+    "q59_contamination" -> TextQueries.contaminationScreen _,
+    // q60: the one gate query that runs its sketch OUTSIDE the
+    // deterministic regime — CM at width 32 over 150+ keys (every counter
+    // shared) with the ε·N/δ contract emitted as a verdict (VERDICT r3
+    // item 6); the deterministic-regime discipline above stays intact for
+    // every value-comparing query.
+    "q60_cm_colliding" -> ((s: SparkSession, d: String) =>
+      BoundAudit.collidingSliceAudit(
+        Tables.events(s, d).withColumn("one", lit(1L)), "user_id", "one",
+        samplePred = col("user_id") % 3 === 0, eps = 0.1, delta = 0.01))
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -526,6 +535,17 @@ object SparkEntry {
          | cast(floor((cast($eps AS double) * cast((SELECT count(*) FROM events) AS double))
          |   * 1000.0) AS bigint) AS eps_n_bound_milli""".stripMargin
     },
+
+    // q60: the colliding-regime CM audit — the oracle mirrors the
+    // data-derived sampled-key count plus the two contract verdicts
+    // (under_violations structurally 0; pass_ok 1 because the evaluated
+    // P[err > εN] ≤ δ bound holds on the fixed hash family — same
+    // verdict-mirroring discipline as q17/q26/q56)
+    "q60_cm_colliding" ->
+      """SELECT count(DISTINCT user_id) AS n_sampled_keys,
+        | cast(0 AS bigint) AS under_violations,
+        | cast(1 AS bigint) AS pass_ok
+        |FROM events WHERE user_id % 3 = 0""".stripMargin,
 
     "q41_lsh_neardup" ->
       """WITH u AS (

@@ -21,6 +21,45 @@ object BoundAudit {
   def effectiveEps(eps: Double): Double =
     math.E / graft.sketch.SketchIO.nextPow2(math.ceil(math.E / eps).toInt)
 
+  /** q60: the approximate-regime contract IN THE GATE (VERDICT r3 item 6).
+    * Every other oracle query sizes its sketch into the deterministic
+    * regime; this one deliberately sizes the CM to COLLIDE (width ≪ key
+    * count, so every counter is shared by several keys) and emits the
+    * published Cormode–Muthukrishnan contract as data:
+    *
+    *  - `under_violations` must be 0 — CM never underestimates, a
+    *    structural property independent of regime (mirrored as 0);
+    *  - `pass_ok` = 1 iff the fraction of audited keys with
+    *    est ≤ true + ε_eff·N reaches 1 − δ — the P[err > εN] ≤ δ bound,
+    *    evaluated on the same deterministic hash family every run, so the
+    *    verdict is reproducible and the oracle mirrors it as 1.
+    *
+    * The audited keys are q40's sampled slice (`samplePred`, exact counts
+    * only for the sampled keys — the full exact aggregate is what sketches
+    * exist to avoid), so the plan stays scale-safe: full-stream sketch
+    * build + a filtered groupBy + a broadcast-probe pass. */
+  def collidingSliceAudit(df: DataFrame, keyCol: String, weightCol: String,
+      samplePred: Column, eps: Double, delta: Double): DataFrame = {
+    val keyed = df.select(col(keyCol).cast("string").as("k"),
+      col(weightCol).cast("long").as("w"), samplePred.as("sampled"))
+    val sk = keyed.agg(cm_sketch(col("k"), col("w"), eps, delta).as("sk"))
+    val epsEff = effectiveEps(eps)
+    val (probe, total) = cm_probe_with_total(sk)
+    keyed.filter(col("sampled"))
+      .groupBy(col("k")).agg(sum(col("w")).as("true_w"))
+      .select(col("k"), col("true_w"), probe(col("k")).as("est"),
+        (lit(epsEff) * lit(total).cast("double")).as("eps_n"))
+      .agg(
+        count(lit(1)).as("n_sampled_keys"),
+        sum(when(col("est") < col("true_w"), 1L).otherwise(0L))
+          .as("under_violations"),
+        when(
+          sum(when(col("est").cast("double") <=
+            col("true_w").cast("double") + col("eps_n"), 1L).otherwise(0L))
+            .cast("double") >= lit(1.0 - delta) * count(lit(1)).cast("double"),
+          1L).otherwise(0L).as("pass_ok"))
+  }
+
   /** `samplePred` picks the audited KEY slice (not rows — a key's count must
     * be exact, so every row of a sampled key is included). It must be
     * deterministic; keep it ANSI-SQL-expressible (e.g. `key % 3 = 0`) and

