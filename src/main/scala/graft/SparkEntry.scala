@@ -113,7 +113,11 @@ object SparkEntry {
     "q60_cm_colliding" -> ((s: SparkSession, d: String) =>
       BoundAudit.collidingSliceAudit(
         Tables.events(s, d).withColumn("one", lit(1L)), "user_id", "one",
-        samplePred = col("user_id") % 3 === 0, eps = 0.1, delta = 0.01))
+        samplePred = col("user_id") % 3 === 0, eps = 0.1, delta = 0.01)),
+    // q61: dedup clusters via large-star/small-star contraction — row-
+    // identical to q37 by the CC contract, shares its oracle verbatim
+    // (the q57/q58 twin discipline), so DuckDB pins the star plan too.
+    "q61_dedup_clusters_star" -> DedupClusterQuery.dedupClustersStar _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -157,6 +161,33 @@ object SparkEntry {
         |  cast(floor(cast(sum(dur_us) AS double) / cast(count(*) AS double))
         |    AS bigint) AS avg_duration_us
         |FROM per_session""".stripMargin
+
+  /** q37/q61 share ONE oracle string: both cluster assignments are
+    * row-identical by the connected-components contract (min-label
+    * propagation vs star contraction), so binding the SQL once keeps the
+    * two gates structurally synchronized. */
+  private val DedupClustersOracleSql: String =
+    """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      cast(floor(cast(len(list_intersect(a.s, b.s)) AS double) /
+        |        cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS double)
+        |        * 1000000.0) AS bigint) AS jaccard_micro
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard_micro >= 500000),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+        |  UNION
+        |  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node)
+        |SELECT node AS doc_id, min(label) AS cluster_id,
+        |  (node = min(label)) AS is_keeper
+        |FROM reach GROUP BY node ORDER BY cluster_id, doc_id""".stripMargin
 
   private val AsOfOracleSql: String =
     """WITH p AS (
@@ -469,28 +500,11 @@ object SparkEntry {
         |    * 1000000.0) AS bigint) AS stddev_load_micro
         |FROM loads""".stripMargin,
 
-    "q37_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      cast(floor(cast(len(list_intersect(a.s, b.s)) AS double) /
-        |        cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS double)
-        |        * 1000000.0) AS bigint) AS jaccard_micro
-        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |  WHERE jaccard_micro >= 500000),
-        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(node, label) AS (
-        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
-        |  UNION
-        |  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node)
-        |SELECT node AS doc_id, min(label) AS cluster_id,
-        |  (node = min(label)) AS is_keeper
-        |FROM reach GROUP BY node ORDER BY cluster_id, doc_id""".stripMargin,
+    "q37_dedup_clusters" -> DedupClustersOracleSql,
+
+    // q61 = q37 through star contraction, row-identical by construction —
+    // ONE oracle string bound twice (the q54/q57 discipline)
+    "q61_dedup_clusters_star" -> DedupClustersOracleSql,
 
     "q33_kll_by_lang" ->
       """SELECT lang, cast(quantile_disc(n_chars, 0.5) AS bigint) AS p50,

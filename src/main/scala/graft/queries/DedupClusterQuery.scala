@@ -108,7 +108,100 @@ object DedupClusterQuery {
     labels
   }
 
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Alternating large-star/small-star contraction — the O(log² n)-round
+    * alternative to min-label propagation for DEEP components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    * MapReduce and Beyond", SoCC'14, Algorithm 2). Min-label propagation
+    * converges in O(component diameter) rounds — fine for blob-shaped
+    * near-dup clusters, the slowest loop in the suite for pathological
+    * CHAIN-shaped ones (a 10⁶-doc transitive near-dup chain = 10⁶ rounds);
+    * star contraction halves chain depth roughly every phase pair.
+    *
+    * Per round (both phases are one groupBy + one equi-join — no pair
+    * enumeration, hub neighborhoods never collect into one row):
+    *  - LARGE-STAR: over symmetric neighborhoods, every neighbor v > u
+    *    re-links to m = min(Γ(u) ∪ {u});
+    *  - SMALL-STAR: over (u > v)-oriented edges, u and every smaller
+    *    neighbor except the min re-link to m = min(Γ(u)).
+    * The edge set converges to per-component stars rooted at the component
+    * minimum; labels read directly off the star edges. Same resumable
+    * manifest as [[connectedComponents]] (per-round parquet of the EDGE
+    * set + atomic commit marker carrying the round's diff count); both
+    * functions return the same (node, label-of-component-min) contract —
+    * parity-tested in ResumableCcSpec on chains and rings. */
+  def connectedComponentsStar(edgesIn: DataFrame, ckptDir: Option[String] = None,
+      maxRounds: Int = 30, failAfterRounds: Int = Int.MaxValue): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val base = edgesIn
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val committed = ckptDir.map(committedRounds).getOrElse(Seq.empty)
+    var round = 0
+    var changed = 1L
+    var edges =
+      if (committed.nonEmpty) {
+        round = committed.last._1
+        changed = committed.last._2
+        spark.read.parquet(s"${ckptDir.get}/round-$round").localCheckpoint()
+      } else base.localCheckpoint()
+    var steps = 0
+    while (changed > 0 && round < maxRounds && steps < failAfterRounds) {
+      // large-star over symmetric neighborhoods; min computed by groupBy +
+      // join-back (never collect_list — a hub's neighborhood stays spread)
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = nbrs.join(largeMins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m: stays oriented
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the (u > v)-oriented output
+      val smallMins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(smallMins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v ≥ m: oriented
+        .filter(col("u") =!= col("v"))
+        .unionAll(smallMins.select(col("u"), col("m").as("v"))) // u > min(Γ(u))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint test: signed multiset diff of the edge sets (the same
+      // in-plan discipline as PairTiling.pairParity), one count per round
+      changed = next.withColumn("__s", lit(1L))
+        .unionAll(edges.withColumn("__s", lit(-1L)))
+        .groupBy(col("u"), col("v")).agg(sum(col("__s")).as("__d"))
+        .filter(col("__d") =!= 0L).count()
+      edges.unpersist()
+      edges = next
+      round += 1
+      steps += 1
+      ckptDir.foreach { dir =>
+        next.write.mode("overwrite").parquet(s"$dir/round-$round")
+        commit(dir, round, changed)
+      }
+    }
+    // at the fixpoint every component is a star (child, root); labels read
+    // off directly, roots label themselves
+    val children = edges.select(col("u").as("node"), col("v").as("label"))
+    val roots = edges.select(col("v").as("node")).distinct()
+      .join(children.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
+    children.unionAll(roots)
+  }
+
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClustersVia(spark, sfDir, connectedComponents(_))
+
+  /** q61: the same cluster assignment through [[connectedComponentsStar]] —
+    * row-identical to q37 by the CC contract, so it shares q37's DuckDB
+    * oracle verbatim (the q57/q58 salted-twin discipline): the gate pins
+    * the star-contraction plan end-to-end every round. */
+  def dedupClustersStar(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClustersVia(spark, sfDir, connectedComponentsStar(_))
+
+  private def dedupClustersVia(spark: SparkSession, sfDir: String,
+      cc: DataFrame => DataFrame): DataFrame = {
     val pairs = TextQueries.dedupMinhash(spark, sfDir)
       .select(col("id_a"), col("id_b"))
       .cache()
@@ -116,7 +209,7 @@ object DedupClusterQuery {
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
       .cache()
-    val labels = connectedComponents(edges)
+    val labels = cc(edges)
     val out = labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))

@@ -40,4 +40,44 @@ class ResumableCcSpec extends SparkTestBase {
     val again = DedupClusterQuery.connectedComponents(edges, ckptDir = Some(dir))
     assert(labelsOf(again) === straight)
   }
+
+  test("star contraction equals min-label propagation on chains and rings") {
+    val viaProp = labelsOf(DedupClusterQuery.connectedComponents(edges))
+    val viaStar = labelsOf(DedupClusterQuery.connectedComponentsStar(edges))
+    assert(viaStar === viaProp)
+  }
+
+  test("star contraction: kill after 2 rounds, resume, fixpoint identical") {
+    val straight = labelsOf(DedupClusterQuery.connectedComponentsStar(edges))
+    val dir = java.nio.file.Files.createTempDirectory("graft-star-ckpt").toString
+    val partial = DedupClusterQuery.connectedComponentsStar(
+      edges, ckptDir = Some(dir), failAfterRounds = 1)
+    // resume to completion must reach the uninterrupted fixpoint
+    val resumed = DedupClusterQuery.connectedComponentsStar(edges, ckptDir = Some(dir))
+    assert(labelsOf(resumed) === straight)
+    val again = DedupClusterQuery.connectedComponentsStar(edges, ckptDir = Some(dir))
+    assert(labelsOf(again) === straight)
+  }
+
+  test("star contraction needs far fewer rounds than propagation on a chain") {
+    // a planted 24-node chain: diameter 23, the propagation worst case
+    val chain = (0L until 23L).map(i => (i, i + 1))
+    val chainEdges = (chain ++ chain.map(_.swap)).toDF("src", "dst").cache()
+    def committedRoundCount(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("commit-"))
+    val pDir = java.nio.file.Files.createTempDirectory("graft-cc-p").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft-cc-s").toString
+    val viaProp = labelsOf(DedupClusterQuery.connectedComponents(
+      chainEdges, ckptDir = Some(pDir), maxRounds = 40))
+    val viaStar = labelsOf(DedupClusterQuery.connectedComponentsStar(
+      chainEdges, ckptDir = Some(sDir), maxRounds = 40))
+    assert(viaProp === viaStar)
+    assert(viaProp.forall(_._2 === 0L)) // one chain, one component, min 0
+    val pRounds = committedRoundCount(pDir)
+    val sRounds = committedRoundCount(sDir)
+    // propagation walks the diameter; star halves depth per phase pair
+    assert(pRounds >= 23, s"propagation rounds $pRounds")
+    assert(sRounds * 2 < pRounds, s"star rounds $sRounds vs propagation $pRounds")
+  }
 }
