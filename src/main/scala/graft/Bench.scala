@@ -64,6 +64,7 @@ object Bench {
     System.gc()
     graft.agg.NativeCountMinAgg.register(spark, eps = eps)
     graft.agg.NativeTopKAgg.register(spark, capacity = 4096, eps = eps)
+    graft.agg.NativeHllAgg.register(spark, p = 14)
     corpus.createOrReplaceTempView("bench_corpus_v")
     val paths: Seq[(String, () => Unit)] = Seq(
       "cm_build" -> (() =>
@@ -76,6 +77,8 @@ object Bench {
         spark.sql("SELECT topk_sketch_fast(token, 1L) FROM bench_corpus_v").head()),
       "hll_build" -> (() =>
         corpus.agg(hll_sketch(col("token"), p = 14)).head()),
+      "hll_native_build" -> (() =>
+        spark.sql("SELECT hll_sketch_fast(token) FROM bench_corpus_v").head()),
       "kll_build" -> (() =>
         corpus.agg(kll_sketch(col("weight").cast("double"), k = 200)).head()),
       // platform baseline: pure whole-stage-codegen scan+hash aggregate over

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.agg.{CmQuerySketch, CmTotalSketch, HllCountSketch, KllQuantileSketch, NativeCountMinAgg, NativeTopKAgg, TopKEntriesSketch}
+import graft.agg.{CmQuerySketch, CmTotalSketch, HllCountSketch, KllQuantileSketch, NativeCountMinAgg, NativeHllAgg, NativeTopKAgg, TopKEntriesSketch}
 import graft.sketch.CountMinSketch
 
 /**
@@ -97,6 +97,16 @@ object GraftExtensions {
         val seed = if (exprs.length > 5) foldNum(exprs(5), "seed").toLong
           else CountMinSketch.DefaultSeed
         NativeTopKAgg(exprs.head, exprs(1), capacity, eps, delta, seed)
+      }),
+    (FunctionIdentifier("hll_sketch_fast"),
+      new ExpressionInfo(classOf[NativeHllAgg].getName, "hll_sketch_fast"),
+      exprs => {
+        require(exprs.length >= 1 && exprs.length <= 3,
+          "usage: hll_sketch_fast(key[, p[, seed]])")
+        val p = if (exprs.length > 1) foldNum(exprs(1), "p").toInt else 14
+        val seed = if (exprs.length > 2) foldNum(exprs(2), "seed").toLong
+          else graft.sketch.HyperLogLog.DefaultSeed
+        NativeHllAgg(exprs.head, p, seed)
       }),
     (FunctionIdentifier("topk_entries_sketch"),
       new ExpressionInfo(classOf[TopKEntriesSketch].getName, "topk_entries_sketch"),

@@ -23,6 +23,22 @@ class NativeAggSpec extends SparkTestBase {
     }
   }
 
+  test("native hll_sketch_fast == udaf hll_sketch, bit-exact, across partitionings") {
+    NativeHllAgg.register(spark, p = 14)
+    val stream = StreamFixtures.weightedZipfStream(40000, 2000)
+    for (parts <- Seq(1, 8, 32)) {
+      val df = stream.toDF("k", "w").repartition(parts)
+      df.createOrReplaceTempView("native_hll_v")
+      val native = spark.sql("SELECT hll_sketch_fast(k) AS sk FROM native_hll_v")
+        .head().getAs[Array[Byte]]("sk")
+      val viaUdaf = df.agg(hll_sketch(col("k")).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      // register max is order-independent, so the serialized state (not just
+      // the estimate) must match bit-for-bit at any partitioning
+      assert(java.util.Arrays.equals(native, viaUdaf), s"parts=$parts")
+    }
+  }
+
   test("native topk_sketch_fast == udaf cm_topk, semantically identical") {
     // capacity exceeds the distinct keyspace, so no trim happens and the
     // candidate set + merged-CM estimates are partition-order independent;
