@@ -84,6 +84,46 @@ class RerouteSpec extends SparkTestBase {
       math.min(d2(0)(2), 10)) === None)
   }
 
+  test("property: greedy spine equals an independent slow replay on random flow sets") {
+    // 50 seeded-random scenarios: k aggrs, random flows, loads built by
+    // assignment (as the distributed aggregation would); the kernel must
+    // match a naive step-by-step argmin replay and never raise the max
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val k = 2 + rnd.nextInt(3) // aggrs 0..k-1, edges k..3k-1
+      val e = 2 * k
+      val flows = (0 until (5 + rnd.nextInt(40))).map { i =>
+        val src = k + rnd.nextInt(e)
+        var dst = k + rnd.nextInt(e)
+        while (dst == src) dst = k + rnd.nextInt(e)
+        (i.toLong, src, dst, 1L + rnd.nextInt(100).toLong, rnd.nextInt(k))
+      }
+      def key(a: Int, b: Int) = if (a <= b) (a, b) else (b, a)
+      val loads = collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
+      flows.foreach { case (_, s, d, t, a) =>
+        loads(key(s, a)) += t; loads(key(a, d)) += t
+      }
+      val top = flows.sortBy { case (id, _, _, t, _) => (-t, id) }
+        .take(1 + flows.size / 4)
+      val (after, assign) = RerouteQueries.greedySpineReroute(top, k, loads)
+      // slow replay: same order, naive scan over every aggr
+      val slow = collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
+      loads.foreach { case (kk, v) => slow(kk) = v }
+      var currentMax = loads.values.max
+      top.foreach { case (id, s, d, t, a) =>
+        slow(key(s, a)) -= t; slow(key(a, d)) -= t
+        val best = (0 until k).minBy(c =>
+          (math.max(slow(key(s, c)) + t, slow(key(c, d)) + t), c))
+        slow(key(s, best)) += t; slow(key(best, d)) += t
+        assert(assign(id) === best, s"flow $id")
+        val newMax = slow.values.max
+        assert(newMax <= currentMax, s"max raised at flow $id")
+        currentMax = newMax
+      }
+      slow.foreach { case (kk, v) => assert(after.getOrElse(kk, 0L) === v, kk) }
+    }
+  }
+
   test("q62 gate verdicts hold and the reroute genuinely moves flows (sf0.001)") {
     val row = RerouteQueries.rerouteRepathGate(spark, sf("sf0.001")).head()
     assert(row.getAs[Long]("improved_ok") === 1L)

@@ -80,10 +80,12 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     graft.agg.NativeCountMinAgg.register(spark, eps = 1e-3, delta = 0.01)
     graft.agg.NativeTopKAgg.register(spark, capacity = 2048, eps = 1e-3, delta = 0.01)
+    graft.agg.NativeHllAgg.register(spark, p = 14)
     val mem = MemoryStream[(String, Long)]
     val q = mem.toDF().toDF("k", "w")
       .agg(expr("cm_sketch_fast(k, w)").as("cm"),
-        expr("topk_sketch_fast(k, w)").as("tk"))
+        expr("topk_sketch_fast(k, w)").as("tk"),
+        expr("hll_sketch_fast(k)").as("hll"))
       .writeStream.outputMode("complete")
       .format("memory").queryName("native_stream")
       .start()
@@ -92,11 +94,17 @@ class StreamingSpec extends SparkTestBase {
       mem.addData(batch)
       q.processAllAvailable()
     }
-    val row = spark.sql("SELECT cm, tk FROM native_stream").head()
+    val row = spark.sql("SELECT cm, tk, hll FROM native_stream").head()
     q.stop()
     val cmSingle = CountMinSketch.fromErrorBounds(1e-3, 0.01)
     stream.foreach { case (k, w) => cmSingle.update(k, w) }
     assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("cm"), cmSingle.serialize()))
+    // hll (round 4): register max is order/batching-independent — the
+    // streaming state merge must be bit-identical to a single-pass kernel
+    val hllSingle = graft.sketch.HyperLogLog(14)
+    stream.foreach { case (k, _) => hllSingle.add(k) }
+    assert(java.util.Arrays.equals(
+      row.getAs[Array[Byte]]("hll"), hllSingle.serialize()))
     // topk twin = the BATCH native build over the same rows: a sequential
     // kernel loop stores each key's estimate AT LAST TOUCH, while every
     // merge re-estimates candidates against the merged CM — so the
