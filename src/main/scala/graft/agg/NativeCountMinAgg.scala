@@ -97,7 +97,13 @@ object NativeCountMinAgg {
       seed: Long = CountMinSketch.DefaultSeed): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cm_sketch_fast",
-      exprs => NativeCountMinAgg(exprs.head, exprs(1), eps, delta, seed),
+      exprs => {
+        // eps/delta/seed bind from Scala here; reject extra SQL args instead
+        // of silently ignoring them (GraftExtensions parses literal args)
+        require(exprs.length == 2,
+          s"cm_sketch_fast(key, weight): expected 2 arguments, got ${exprs.length}")
+        NativeCountMinAgg(exprs.head, exprs(1), eps, delta, seed)
+      },
       "built-in")
   }
 }

@@ -77,7 +77,16 @@ object NativeHllAgg {
       p: Int = 14, seed: Long = HyperLogLog.DefaultSeed): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_sketch_fast",
-      exprs => NativeHllAgg(exprs.head, p, seed),
+      exprs => {
+        // this registration binds p/seed from Scala; reject extra SQL args
+        // instead of silently ignoring them (the GraftExtensions path is
+        // the one that parses literal p/seed arguments)
+        require(exprs.length == 1,
+          s"hll_sketch_fast(key): expected 1 argument, got ${exprs.length} " +
+            "(p/seed are fixed by this registration; use the " +
+            "GraftExtensions surface for literal arguments)")
+        NativeHllAgg(exprs.head, p, seed)
+      },
       "built-in")
   }
 }

@@ -98,7 +98,14 @@ object NativeTopKAgg {
       seed: Long = CountMinSketch.DefaultSeed): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_sketch_fast",
-      exprs => NativeTopKAgg(exprs.head, exprs(1), capacity, eps, delta, seed),
+      exprs => {
+        // capacity/eps/delta/seed bind from Scala here; reject extra SQL
+        // args instead of silently ignoring them (GraftExtensions parses
+        // literal arguments)
+        require(exprs.length == 2,
+          s"topk_sketch_fast(key, weight): expected 2 arguments, got ${exprs.length}")
+        NativeTopKAgg(exprs.head, exprs(1), capacity, eps, delta, seed)
+      },
       "built-in")
   }
 }

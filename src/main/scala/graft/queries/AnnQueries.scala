@@ -385,21 +385,33 @@ object AnnQueries {
     * broken signature kernel (or a bucketing that ignores the vectors)
     * fails the flag. The signature itself is not SQL-expressible; the
     * DuckDB twin mirrors the data-derived corpus count plus the verdict. */
-  def lshBucketLocality(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshBucketLocality(spark: SparkSession, sfDir: String): DataFrame =
+    lshBucketLocalityOn(Tables.embeddings(spark, sfDir), target = 4096L)
+
+  /** The locality audit over any (vec_id, embedding) frame — the test
+    * surface for the divisor>1 subset regime (AnnSpec drives it with a
+    * 16k-vector clustered fixture the gate tables never reach). */
+  def lshBucketLocalityOn(embIn: DataFrame, target: Long): DataFrame = {
     val bucketUdf = udf(lshBucketUdf)
-    val emb = Tables.embeddings(spark, sfDir)
+    val emb = embIn
       .select(col("vec_id"), col("embedding"),
         bucketUdf(col("embedding")).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // scale shape (VERDICT r3 item 1): the pair enumeration behind the
-    // within-vs-background averages runs over a deterministic hash subset of
-    // ~1024 vectors at any scale (PairTiling.hashSubset, the q56
-    // discipline) — the subset is chosen by id hash, independent of the
-    // embedding values, so the locality statistic it estimates is the same
-    // property, while the Ω(subset²) plan stays constant-cost. At the verify
-    // scales (≤2000 vectors) the divisor is 1 and nothing changes. One
-    // count() sizes the divisor (accepted scalar-action pattern).
-    val sub = PairTiling.hashSubset(emb, "vec_id", emb.count())
+    // within-vs-background averages runs over a deterministic hash subset
+    // (PairTiling.hashSubset, the q56 discipline) — chosen by id hash,
+    // independent of the embedding values, so the locality statistic it
+    // estimates is the same property, while the Ω(subset²) plan stays
+    // constant-cost. The target is 4096 (not the default 1024): at 12
+    // signature bits a subset of s vectors yields only ~C(s,2)/4096
+    // incidental same-bucket pairs, so s=4096 keeps the within-bucket
+    // sample at ~2000 pairs at ANY corpus size — enough that the
+    // within>background verdict isn't a coin flip on sampling noise
+    // (review r4 finding; the divisor>1 regime itself is pinned by
+    // AnnSpec's clustered 16k-vector fixture). At the verify scales
+    // (≤2000 vectors) the divisor is 1 and nothing changes. One count()
+    // sizes the divisor (accepted scalar-action pattern).
+    val sub = PairTiling.hashSubset(emb, "vec_id", emb.count(), target = target)
     val pairSims = PairTiling.allPairs(sub, "vec_id", Nil)
       .select((col("bucket_a") === col("bucket_b")).as("same"),
         floor(cosine(col("embedding_a"), col("embedding_b")) * 1000000.0)

@@ -51,11 +51,16 @@ object BoundAudit {
         (lit(epsEff) * lit(total).cast("double")).as("eps_n"))
       .agg(
         count(lit(1)).as("n_sampled_keys"),
-        sum(when(col("est") < col("true_w"), 1L).otherwise(0L))
-          .as("under_violations"),
+        // coalesce: sum() over an EMPTY key slice is NULL, which would
+        // diverge from the oracle's constant 0/1 (0 violations and a
+        // vacuously-true bound are the correct degenerate answers — the
+        // q56 sound_ok discipline)
+        coalesce(sum(when(col("est") < col("true_w"), 1L).otherwise(0L)),
+          lit(0L)).as("under_violations"),
         when(
-          sum(when(col("est").cast("double") <=
-            col("true_w").cast("double") + col("eps_n"), 1L).otherwise(0L))
+          coalesce(sum(when(col("est").cast("double") <=
+            col("true_w").cast("double") + col("eps_n"), 1L).otherwise(0L)),
+            lit(0L))
             .cast("double") >= lit(1.0 - delta) * count(lit(1)).cast("double"),
           1L).otherwise(0L).as("pass_ok"))
   }
@@ -81,9 +86,17 @@ object BoundAudit {
         (lit(epsEff) * lit(total).cast("double")).as("eps_n"))
       .agg(
         count(lit(1)).as("n_sampled_keys"),
-        sum(when(col("est") < col("true_w"), 1L).otherwise(0L)).as("under_violations"),
-        sum(when(col("est").cast("double") > col("true_w").cast("double") + col("eps_n"), 1L)
-          .otherwise(0L)).as("over_violations"),
-        floor(max(col("eps_n")) * 1000.0).cast("long").as("eps_n_bound_milli"))
+        // coalesce on every sum/max: an empty sampled slice must read as
+        // 0 violations (and a 0 bound), not NULLs that break the oracle
+        coalesce(sum(when(col("est") < col("true_w"), 1L).otherwise(0L)), lit(0L))
+          .as("under_violations"),
+        coalesce(sum(when(
+          col("est").cast("double") > col("true_w").cast("double") + col("eps_n"), 1L)
+          .otherwise(0L)), lit(0L)).as("over_violations"),
+        // eps_n is row-independent (ε_eff · N), so the bound column is a
+        // driver literal — identical to the oracle's expression on any
+        // slice, including an empty one (max() over empty rows is NULL)
+        lit(math.floor(epsEff * total.toDouble * 1000.0).toLong)
+          .as("eps_n_bound_milli"))
   }
 }

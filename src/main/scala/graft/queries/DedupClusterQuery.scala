@@ -130,7 +130,7 @@ object DedupClusterQuery {
     * functions return the same (node, label-of-component-min) contract —
     * parity-tested in ResumableCcSpec on chains and rings. */
   def connectedComponentsStar(edgesIn: DataFrame, ckptDir: Option[String] = None,
-      maxRounds: Int = 30, failAfterRounds: Int = Int.MaxValue): DataFrame = {
+      maxRounds: Int = 60, failAfterRounds: Int = Int.MaxValue): DataFrame = {
     val spark = edgesIn.sparkSession
     val base = edgesIn
       .select(greatest(col("src"), col("dst")).as("u"),
@@ -181,6 +181,16 @@ object DedupClusterQuery {
         commit(dir, round, changed)
       }
     }
+    // Labels are only readable off a FIXPOINT edge set (stars): a node of a
+    // non-converged forest still carries several (u, v) edges and would emit
+    // several conflicting label rows. Propagation's best-effort-at-maxRounds
+    // semantics don't transfer here — fail loudly instead of silently
+    // returning a corrupt multi-label frame (round-4 review finding). The
+    // interrupted-run path (failAfterRounds, checkpointed) resumes instead.
+    if (changed > 0 && steps < failAfterRounds) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxRounds rounds " +
+        s"($changed edges still changing) — raise maxRounds; the edge set " +
+        "is not a star forest, labels would be ambiguous")
     // at the fixpoint every component is a star (child, root); labels read
     // off directly, roots label themselves
     val children = edges.select(col("u").as("node"), col("v").as("label"))

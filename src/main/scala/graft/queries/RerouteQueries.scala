@@ -200,6 +200,11 @@ object RerouteQueries {
         // q19/q49 micro-floor discipline)
         floor(col("o_totalprice")).cast("long").as("traffic"))
       .filter(col("src") =!= col("dst"))
+      // persisted: THREE consumers at build time (link aggregation, row
+      // count, top-θ selection) — uncached each would rescan orders; unlike
+      // the lazy-plan persists elsewhere, every consumer runs before this
+      // function returns, so the entry is dropped on exit (review r4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // distributed link-load aggregation: each [src, aggr, dst] path explodes
     // into its two undirected links
     val links = flowsDf.select(explode(array(
@@ -228,6 +233,8 @@ object RerouteQueries {
       .toSeq
       // the reference sorts traffic desc (ours adds id asc for determinism)
       .sortBy { case (id, _, _, t, _) => (-t, id) }
+
+    flowsDf.unpersist() // all three consumers have run; result is driver-local
 
     val (after, assign) = greedySpineReroute(top, SpineK, loads)
     val maxAfter = after.values.filter(_ > 0).foldLeft(0L)(math.max)

