@@ -122,7 +122,11 @@ object SparkEntry {
     // listed as missing) — distributed link-load aggregation + top-θ
     // selection, sequential greedy-spine re-pathing kernel, verdicts +
     // data-derived values mirrored by the oracle.
-    "q62_reroute_repath" -> RerouteQueries.rerouteRepathGate _
+    "q62_reroute_repath" -> RerouteQueries.rerouteRepathGate _,
+    // q63: the same pipeline on a GRID topology, driving the general-
+    // topology branch-and-bound path finder (Greedy.FindPath analog) —
+    // the non-spine regime where the search is genuine.
+    "q63_reroute_bb" -> RerouteQueries.rerouteBBGate _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -589,6 +593,34 @@ object SparkEntry {
         |  (SELECT cast(max(load) AS bigint) FROM loads) AS max_load_before,
         |  cast(1 AS bigint) AS improved_ok,
         |  cast(1 AS bigint) AS conserved_ok,
+        |  cast(1 AS bigint) AS paths_ok""".stripMargin,
+
+    // q63: distributed half value-checked (grouped flows, L-path link
+    // loads via two range unnests, top-θ count); the BB kernel gates
+    // through the improved/paths verdicts (see RerouteQueries scaladoc)
+    "q63_reroute_bb" ->
+      """WITH b AS (
+        |  SELECT (l_suppkey % 16) AS s, (l_partkey % 16) AS d,
+        |    l_orderkey * 8 + l_linenumber AS lid,
+        |    cast(floor(l_extendedprice) AS bigint) AS t
+        |  FROM lineitem),
+        |f2 AS (
+        |  SELECT lid, s, d, sum(t) AS traffic,
+        |    (s // 4) AS r1, (s % 4) AS c1, (d // 4) AS r2, (d % 4) AS c2
+        |  FROM b WHERE s <> d GROUP BY lid, s, d),
+        |h AS (SELECT r1 AS r, unnest(range(least(c1, c2), greatest(c1, c2))) AS c,
+        |    traffic FROM f2 WHERE c1 <> c2),
+        |v AS (SELECT unnest(range(least(r1, r2), greatest(r1, r2))) AS r, c2 AS c,
+        |    traffic FROM f2 WHERE r1 <> r2),
+        |l AS (
+        |  SELECT r * 4 + c AS a, r * 4 + c + 1 AS b, traffic FROM h
+        |  UNION ALL
+        |  SELECT r * 4 + c AS a, (r + 1) * 4 + c AS b, traffic FROM v),
+        |loads AS (SELECT a, b, sum(traffic) AS load FROM l GROUP BY 1, 2)
+        |SELECT (SELECT count(*) FROM f2) AS n_flows,
+        |  cast(ceil(0.01 * (SELECT count(*) FROM f2)) AS bigint) AS n_rerouted,
+        |  (SELECT cast(max(load) AS bigint) FROM loads) AS max_load_before,
+        |  cast(1 AS bigint) AS improved_ok,
         |  cast(1 AS bigint) AS paths_ok""".stripMargin,
 
     "q41_lsh_neardup" ->

@@ -168,6 +168,158 @@ object RerouteQueries {
     * the reference's `LeafSpineGen` layout, Generator/Program.cs:365-386). */
   private val SpineK = 4
 
+  // ---- general-topology BB reroute (q63) -------------------------------
+
+  /** Side length of the q63 grid topology (16 switches, 24 links — the
+    * non-spine regime where `Greedy.FindPath`'s search is genuine: many
+    * simple paths per (src, dst), unlike the spine's fixed 3-hop shape). */
+  private val GridW = 4
+  private val GridN = GridW * GridW
+
+  /** 4-neighbor grid adjacency. */
+  private[queries] def gridAdj(): Map[Int, Seq[Int]] =
+    (0 until GridN).map { n =>
+      val r = n / GridW
+      val c = n % GridW
+      n -> Seq((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1))
+        .filter { case (rr, cc) =>
+          rr >= 0 && rr < GridW && cc >= 0 && cc < GridW }
+        .map { case (rr, cc) => rr * GridW + cc }
+    }.toMap
+
+  /** The deterministic INITIAL route of a grid flow: the L-path — along
+    * src's row to dst's column, then along that column — as canonical
+    * (a < b) undirected edges. Its length is the Manhattan distance, i.e.
+    * shortest, so it is always inside [[findPathBB]]'s candidate space and
+    * the reroute can never raise the global max. The least/greatest ranges
+    * only keep the sequences ascending — the path itself follows the
+    * (src row, dst column) convention, identically in this kernel, the
+    * Spark link aggregation and the oracle's two range unnests. */
+  private[queries] def lPathEdges(s: Int, d: Int): Seq[(Int, Int)] = {
+    val r1 = s / GridW; val c1 = s % GridW
+    val r2 = d / GridW; val c2 = d % GridW
+    val h = (math.min(c1, c2) until math.max(c1, c2))
+      .map(c => (r1 * GridW + c, r1 * GridW + c + 1))
+    val v = (math.min(r1, r2) until math.max(r1, r2))
+      .map(r => (r * GridW + c2, (r + 1) * GridW + c2))
+    h ++ v
+  }
+
+  /** Sequential BB reroute over grid flows (id, src, dst, traffic): each
+    * flow's L-path load is removed, [[findPathBB]] picks the bottleneck-
+    * minimizing route under the CURRENT loads, and the flow re-assigns —
+    * the `Greedy.FindPath` composition of `Utils.ReRoute`, on the topology
+    * family where the branch-and-bound search is real. Returns the final
+    * loads and each flow's new path. */
+  def greedyGridReroute(flows: Seq[(Long, Int, Int, Long)],
+      loadsIn: collection.Map[(Int, Int), Long])
+      : (collection.mutable.Map[(Int, Int), Long], Map[Long, Seq[Int]]) = {
+    val adj = gridAdj()
+    val dist = floydDistances(GridN, adj)
+    val loads = collection.mutable.Map.empty[(Int, Int), Long]
+    loadsIn.foreach { case (k, v) => loads(k) = v }
+    val routes = collection.mutable.Map.empty[Long, Seq[Int]]
+    flows.foreach { case (id, s, d, t) =>
+      lPathEdges(s, d).foreach { e => loads(e) = loads.getOrElse(e, 0L) - t }
+      val path = findPathBB(s, d, adj, loads, GridN, dist(s)(d))
+        .getOrElse(throw new IllegalStateException(
+          s"grid is connected; no path $s -> $d can only be a kernel bug"))
+      path.sliding(2).foreach { case Seq(u, v) =>
+        val e = linkKey(u, v)
+        loads(e) = loads.getOrElse(e, 0L) + t
+      }
+      routes(id) = path
+    }
+    (loads, routes.toMap)
+  }
+
+  /** q63: the general-topology reroute gate — `Greedy.FindPath`'s branch-
+    * and-bound exercised end-to-end. Flows derive from `lineitem` (grid
+    * endpoints and per-row-floored traffic from key arithmetic, grouped to
+    * unique (lid, s, d) flows — all DuckDB-mirrorable), initial routes are
+    * the deterministic L-paths, link loads aggregate DISTRIBUTED (each flow
+    * explodes into its Manhattan-many edges), and the top-θ flows reroute
+    * through [[greedyGridReroute]]. Same verdict discipline as q62:
+    * n_flows / n_rerouted / max_load_before value-checked; improved_ok
+    * (BB's candidate space contains the removed L-path, so the max can
+    * never rise), conserved_ok (Σ load · however many edges each flow
+    * occupies is checked as total conservation per step: remove |L-path|·t,
+    * add |BB-path|·t — totals CHANGE when path lengths differ, so q63's
+    * conservation verdict checks per-flow endpoint invariants instead:
+    * every rerouted path starts at src, ends at dst, and walks adjacent
+    * grid nodes — re-verified independently of the kernel). */
+  def rerouteBBGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val flowsDf = Tables.lineitem(spark, sfDir)
+      .select(
+        pmod(col("l_suppkey"), lit(GridN)).cast("int").as("s"),
+        pmod(col("l_partkey"), lit(GridN)).cast("int").as("d"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("lid"),
+        floor(col("l_extendedprice")).cast("long").as("t"))
+      .filter(col("s") =!= col("d"))
+      // (lid, s, d) triples are the unique flow identity in this synthetic
+      // lineitem (the raw (orderkey, linenumber) pair duplicates); traffic
+      // floors per ROW before the grouped sum (the cross-engine discipline)
+      .groupBy(col("lid"), col("s"), col("d"))
+      .agg(sum(col("t")).as("traffic"))
+      .withColumn("fid",
+        col("lid") * 256L + col("s").cast("long") * 16L + col("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withRC = flowsDf
+      .withColumn("r1", (col("s") / GridW).cast("int"))
+      .withColumn("c1", pmod(col("s"), lit(GridW)).cast("int"))
+      .withColumn("r2", (col("d") / GridW).cast("int"))
+      .withColumn("c2", pmod(col("d"), lit(GridW)).cast("int"))
+    val emptyEdges = array().cast("array<struct<a:int,b:int>>")
+    val hArr = when(col("c1") === col("c2"), emptyEdges)
+      .otherwise(transform(
+        sequence(least(col("c1"), col("c2")),
+          greatest(col("c1"), col("c2")) - 1),
+        c => struct((col("r1") * GridW + c).cast("int").as("a"),
+          (col("r1") * GridW + c + 1).cast("int").as("b"))))
+    val vArr = when(col("r1") === col("r2"), emptyEdges)
+      .otherwise(transform(
+        sequence(least(col("r1"), col("r2")),
+          greatest(col("r1"), col("r2")) - 1),
+        r => struct((r * GridW + col("c2")).cast("int").as("a"),
+          ((r + 1) * GridW + col("c2")).cast("int").as("b"))))
+    val links = withRC
+      .select(col("traffic"), explode(concat(hArr, vArr)).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(sum(col("traffic")).as("load"))
+    val loads: Map[(Int, Int), Long] = links.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val maxBefore = if (loads.isEmpty) 0L else loads.values.max
+
+    val n = flowsDf.count()
+    val kTop = math.max(1L, math.ceil(0.01 * n).toLong)
+    val top = SketchSelect.topK(flowsDf, "traffic", "fid", kTop, knownN = n)
+      .select(col("fid"), col("s"), col("d"), col("traffic"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+      .sortBy { case (id, _, _, t) => (-t, id) }
+    flowsDf.unpersist()
+
+    val (after, routes) = greedyGridReroute(top, loads)
+    val maxAfter = after.values.foldLeft(0L)(math.max)
+    val adj = gridAdj()
+    // independent path re-verification (not trusting the kernel's output
+    // invariants): endpoints match and every hop is a grid edge
+    val byId = top.map(f => f._1 -> f).toMap
+    val pathsOk = routes.forall { case (id, p) =>
+      val (_, s, d, _) = byId(id)
+      p.headOption.contains(s) && p.lastOption.contains(d) &&
+        p.sliding(2).forall { case Seq(u, v) => adj(u).contains(v) }
+    }
+
+    import spark.implicits._
+    Seq((n, top.size.toLong, maxBefore,
+      if (maxAfter <= maxBefore) 1L else 0L,
+      if (pathsOk) 1L else 0L))
+      .toDF("n_flows", "n_rerouted", "max_load_before",
+        "improved_ok", "paths_ok")
+  }
+
   /** q62: the reroute RE-PATHING gate. Flows derive deterministically from
     * `orders` (src/dst edge switches and the initial middle hop from key
     * arithmetic, traffic from o_totalprice — all DuckDB-mirrorable), link

@@ -124,6 +124,47 @@ class RerouteSpec extends SparkTestBase {
     }
   }
 
+  test("grid L-path edges: canonical, Manhattan-length, src-row/dst-col convention") {
+    // 5 = (1,1), 14 = (3,2): horizontal (1,1)->(1,2), vertical (1,2)->(3,2)
+    assert(RerouteQueries.lPathEdges(5, 14) ===
+      Seq((5, 6), (6, 10), (10, 14)))
+    // the reverse flow walks ITS src row (3) then ITS dst column (1) — a
+    // different edge set; both engines use the same per-(s,d) convention
+    assert(RerouteQueries.lPathEdges(14, 5) ===
+      Seq((13, 14), (5, 9), (9, 13)))
+    assert(RerouteQueries.lPathEdges(0, 0) === Seq.empty)
+    // edge count = Manhattan distance, always
+    for (s <- 0 until 16; d <- 0 until 16) {
+      val manhattan = math.abs(s / 4 - d / 4) + math.abs(s % 4 - d % 4)
+      assert(RerouteQueries.lPathEdges(s, d).size === manhattan, s"$s->$d")
+    }
+  }
+
+  test("grid BB reroute: moves load off the hot row, never raises the max") {
+    // all background load on row 0 (edges (0,1),(1,2),(2,3)); flow 0->3
+    // initially L-paths along row 0; BB must detour through lower rows
+    val loads = Map((0, 1) -> 100L, (1, 2) -> 100L, (2, 3) -> 100L)
+    val (after, routes) = RerouteQueries.greedyGridReroute(
+      Seq((1L, 0, 3, 100L)), loads)
+    val p = routes(1L)
+    assert(p.head === 0 && p.last === 3)
+    // the flow's own 100 was part of the row-0 loads; after removal the row
+    // reads 0 and every detour edge also reads 0+100 — any path max is 100,
+    // so the invariant holds; the chosen path must be a valid grid walk
+    val adj = RerouteQueries.gridAdj()
+    assert(p.sliding(2).forall { case Seq(u, v) => adj(u).contains(v) })
+    assert(after.values.max <= 100L)
+  }
+
+  test("q63 gate verdicts hold on the grid topology (sf0.001)") {
+    val row = RerouteQueries.rerouteBBGate(spark, sf("sf0.001")).head()
+    assert(row.getAs[Long]("improved_ok") === 1L)
+    assert(row.getAs[Long]("paths_ok") === 1L)
+    assert(row.getAs[Long]("n_flows") > 0L)
+    assert(row.getAs[Long]("max_load_before") > 0L)
+    spark.catalog.clearCache()
+  }
+
   test("q62 gate verdicts hold and the reroute genuinely moves flows (sf0.001)") {
     val row = RerouteQueries.rerouteRepathGate(spark, sf("sf0.001")).head()
     assert(row.getAs[Long]("improved_ok") === 1L)
