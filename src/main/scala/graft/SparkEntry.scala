@@ -590,7 +590,8 @@ object SparkEntry {
         |loads AS (SELECT a, b, sum(traffic) AS load FROM l GROUP BY 1, 2)
         |SELECT (SELECT count(*) FROM f2) AS n_flows,
         |  cast(ceil(0.01 * (SELECT count(*) FROM f2)) AS bigint) AS n_rerouted,
-        |  (SELECT cast(max(load) AS bigint) FROM loads) AS max_load_before,
+        |  coalesce((SELECT cast(max(load) AS bigint) FROM loads),
+        |    cast(0 AS bigint)) AS max_load_before,
         |  cast(1 AS bigint) AS improved_ok,
         |  cast(1 AS bigint) AS conserved_ok,
         |  cast(1 AS bigint) AS paths_ok""".stripMargin,
@@ -619,7 +620,8 @@ object SparkEntry {
         |loads AS (SELECT a, b, sum(traffic) AS load FROM l GROUP BY 1, 2)
         |SELECT (SELECT count(*) FROM f2) AS n_flows,
         |  cast(ceil(0.01 * (SELECT count(*) FROM f2)) AS bigint) AS n_rerouted,
-        |  (SELECT cast(max(load) AS bigint) FROM loads) AS max_load_before,
+        |  coalesce((SELECT cast(max(load) AS bigint) FROM loads),
+        |    cast(0 AS bigint)) AS max_load_before,
         |  cast(1 AS bigint) AS improved_ok,
         |  cast(1 AS bigint) AS paths_ok""".stripMargin,
 

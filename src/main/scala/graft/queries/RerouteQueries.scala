@@ -168,6 +168,21 @@ object RerouteQueries {
     * the reference's `LeafSpineGen` layout, Generator/Program.cs:365-386). */
   private val SpineK = 4
 
+  /** Shared reroute scaffolding for q62/q63: count the (persisted) flow
+    * frame, select the top-θ flows by (traffic desc, fid asc) through
+    * [[SketchSelect.topK]], collect them, release the persist. θ = 0.01,
+    * the reference's `thres` (Simulator/Program.cs:326). */
+  private def collectTopFlows(flowsDf: DataFrame, cols: Seq[String])
+      : (Long, Seq[org.apache.spark.sql.Row]) = {
+    val n = flowsDf.count()
+    val kTop = math.max(1L, math.ceil(0.01 * n).toLong)
+    val rows = SketchSelect.topK(flowsDf, "traffic", "fid", kTop, knownN = n)
+      .select(cols.map(col): _*)
+      .collect().toSeq
+    flowsDf.unpersist() // every distributed consumer has run by now
+    (n, rows)
+  }
+
   // ---- general-topology BB reroute (q63) -------------------------------
 
   /** Side length of the q63 grid topology (16 switches, 24 links — the
@@ -242,12 +257,12 @@ object RerouteQueries {
     * through [[greedyGridReroute]]. Same verdict discipline as q62:
     * n_flows / n_rerouted / max_load_before value-checked; improved_ok
     * (BB's candidate space contains the removed L-path, so the max can
-    * never rise), conserved_ok (Σ load · however many edges each flow
-    * occupies is checked as total conservation per step: remove |L-path|·t,
-    * add |BB-path|·t — totals CHANGE when path lengths differ, so q63's
-    * conservation verdict checks per-flow endpoint invariants instead:
-    * every rerouted path starts at src, ends at dst, and walks adjacent
-    * grid nodes — re-verified independently of the kernel). */
+    * never rise) and paths_ok (every rerouted path starts at src, ends at
+    * dst, and walks adjacent grid nodes — re-verified independently of the
+    * kernel). There is deliberately NO conserved_ok here: unlike the
+    * fixed-3-hop spine, a BB detour can be longer than the L-path it
+    * replaces, so total Σ(link load) legitimately changes with path
+    * length — the per-flow path audit is the conservation analog. */
   def rerouteBBGate(spark: SparkSession, sfDir: String): DataFrame = {
     val flowsDf = Tables.lineitem(spark, sfDir)
       .select(
@@ -290,15 +305,11 @@ object RerouteQueries {
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
     val maxBefore = if (loads.isEmpty) 0L else loads.values.max
 
-    val n = flowsDf.count()
-    val kTop = math.max(1L, math.ceil(0.01 * n).toLong)
-    val top = SketchSelect.topK(flowsDf, "traffic", "fid", kTop, knownN = n)
-      .select(col("fid"), col("s"), col("d"), col("traffic"))
-      .collect()
+    val (n, topRows) = collectTopFlows(flowsDf,
+      Seq("fid", "s", "d", "traffic"))
+    val top = topRows
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
-      .toSeq
       .sortBy { case (id, _, _, t) => (-t, id) }
-    flowsDf.unpersist()
 
     val (after, routes) = greedyGridReroute(top, loads)
     val maxAfter = after.values.foldLeft(0L)(math.max)
@@ -373,20 +384,14 @@ object RerouteQueries {
     val maxBefore = if (loads.isEmpty) 0L else loads.values.max
     val totalBefore = loads.values.sum
 
-    val stats = flowsDf.agg(count(lit(1)).as("n")).head()
-    val n = stats.getLong(0)
-    val kTop = math.max(1L, math.ceil(0.01 * n).toLong)
     // top-θ selection: the distributed scale path (KLL-bracketed exact
-    // top-k; no global sort) — the same Q5 primitive as q14/q44
-    val top = SketchSelect.topK(flowsDf, "traffic", "fid", kTop, knownN = n)
-      .select(col("fid"), col("src"), col("dst"), col("traffic"), col("aggr"))
-      .collect()
+    // top-k; no global sort) — the same Q5 primitive as q14/q44; the
+    // reference sorts traffic desc (ours adds id asc for determinism)
+    val (n, topRows) = collectTopFlows(flowsDf,
+      Seq("fid", "src", "dst", "traffic", "aggr"))
+    val top = topRows
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
-      .toSeq
-      // the reference sorts traffic desc (ours adds id asc for determinism)
       .sortBy { case (id, _, _, t, _) => (-t, id) }
-
-    flowsDf.unpersist() // all three consumers have run; result is driver-local
 
     val (after, assign) = greedySpineReroute(top, SpineK, loads)
     val maxAfter = after.values.filter(_ > 0).foldLeft(0L)(math.max)

@@ -140,20 +140,23 @@ class RerouteSpec extends SparkTestBase {
     }
   }
 
-  test("grid BB reroute: moves load off the hot row, never raises the max") {
-    // all background load on row 0 (edges (0,1),(1,2),(2,3)); flow 0->3
-    // initially L-paths along row 0; BB must detour through lower rows
-    val loads = Map((0, 1) -> 100L, (1, 2) -> 100L, (2, 3) -> 100L)
+  test("grid BB reroute: background load FORCES a detour off the hot row") {
+    // row-0 edges carry 500 of OTHER flows' load on top of this flow's own
+    // 100; after the kernel removes the flow's 100, row 0 still reads 500
+    // while the lower rows read 0 — a load-blind path finder would re-pick
+    // [0,1,2,3] (ascending DFS order), the real BB must detour
+    val loads = Map((0, 1) -> 600L, (1, 2) -> 600L, (2, 3) -> 600L)
     val (after, routes) = RerouteQueries.greedyGridReroute(
       Seq((1L, 0, 3, 100L)), loads)
     val p = routes(1L)
     assert(p.head === 0 && p.last === 3)
-    // the flow's own 100 was part of the row-0 loads; after removal the row
-    // reads 0 and every detour edge also reads 0+100 — any path max is 100,
-    // so the invariant holds; the chosen path must be a valid grid walk
+    assert(p !== Seq(0, 1, 2, 3), s"BB stayed on the hot row: $p")
     val adj = RerouteQueries.gridAdj()
     assert(p.sliding(2).forall { case Seq(u, v) => adj(u).contains(v) })
-    assert(after.values.max <= 100L)
+    // detour bottleneck = 100 (its own traffic on empty edges); hot row
+    // stays at 500; global max dropped from 600 to 500
+    assert(after.values.max === 500L)
+    assert(Seq((0, 1), (1, 2), (2, 3)).forall(e => after(e) === 500L))
   }
 
   test("q63 gate verdicts hold on the grid topology (sf0.001)") {
