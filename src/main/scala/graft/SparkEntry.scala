@@ -126,7 +126,11 @@ object SparkEntry {
     // q63: the same pipeline on a GRID topology, driving the general-
     // topology branch-and-bound path finder (Greedy.FindPath analog) —
     // the non-spine regime where the search is genuine.
-    "q63_reroute_bb" -> RerouteQueries.rerouteBBGate _
+    "q63_reroute_bb" -> RerouteQueries.rerouteBBGate _,
+    // q64: the KLL approximate contract in the gate — a heavily-compacting
+    // k=64 sketch whose estimates' exact ranks must land within the
+    // published 2/k bound (the q60 discipline for the quantile family).
+    "q64_kll_colliding" -> SketchQueries.kllCollidingBound _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -624,6 +628,18 @@ object SparkEntry {
         |    cast(0 AS bigint)) AS max_load_before,
         |  cast(1 AS bigint) AS improved_ok,
         |  cast(1 AS bigint) AS paths_ok""".stripMargin,
+
+    // q64: like q10/q60, constant probe rows + the bound verdict (rank
+    // errors measured at ~half the published 2/k envelope — see
+    // SketchQueries.kllCollidingBound scaladoc)
+    "q64_kll_colliding" ->
+      """SELECT * FROM (
+        | SELECT cast(0.01 AS double) AS p, cast(1 AS bigint) AS rank_ok
+        | UNION ALL SELECT cast(0.25 AS double), cast(1 AS bigint)
+        | UNION ALL SELECT cast(0.5 AS double), cast(1 AS bigint)
+        | UNION ALL SELECT cast(0.75 AS double), cast(1 AS bigint)
+        | UNION ALL SELECT cast(0.99 AS double), cast(1 AS bigint)
+        |) ORDER BY p""".stripMargin,
 
     "q41_lsh_neardup" ->
       """WITH u AS (

@@ -341,6 +341,38 @@ object SketchQueries {
     Probs.toDF("p")
   }
 
+  /** q64: the KLL approximate contract IN THE GATE (the q60 discipline for
+    * the quantile family): a k=64 sketch over l_extendedprice compacts
+    * heavily at every verify scale (6k–600k rows vs 64 slots), and the gate
+    * emits, per probe quantile, whether the estimate's EXACT normalized rank
+    * (computed distributed, one conditional-sum pass) lands within the
+    * published bound ε = 2/k = 0.03125 (Karnin–Lang–Liberty). Measured
+    * headroom: max |rank−p| over 9 runs × varied partition/merge orders at
+    * all three sfs = 0.0165 — the published bound has ~2× margin, so the
+    * verdict is stable under Spark's nondeterministic partial-merge order.
+    * The oracle mirrors (p, rank_ok=1) — constants, like q10's p rows. */
+  def kllCollidingBound(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").cast("double").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = li.count()
+    val kll = graft.sketch.KllSketch.deserialize(
+      li.agg(kll_sketch(col("x"), k = 64).as("sk")).head().getAs[Array[Byte]]("sk"))
+    val ests = Probs.map(p => (p, kll.quantile(p)))
+    // one distributed pass: exact rank of every estimate at once
+    val aggCols = ests.zipWithIndex.map { case ((_, est), i) =>
+      sum(when(col("x") <= est, 1L).otherwise(0L)).as(s"r$i")
+    }
+    val row = li.agg(aggCols.head, aggCols.tail: _*).head()
+    li.unpersist()
+    val bound = kll.rankError // 2/k
+    ests.zipWithIndex.map { case ((p, _), i) =>
+      val rank = row.getLong(i).toDouble / n
+      (p, if (math.abs(rank - p) <= bound) 1L else 0L)
+    }.toDF("p", "rank_ok").orderBy(col("p"))
+  }
+
   /** q08: KLL quantiles of l_extendedprice — k chosen above row count at the
     * verify scale, so the sketch never compacts and the discrete quantile is
     * exact (DuckDB `quantile_disc` semantics). */

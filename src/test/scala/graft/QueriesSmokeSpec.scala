@@ -44,6 +44,23 @@ class QueriesSmokeSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q64 verdicts hold and its KLL genuinely compacts at the verify scale") {
+    import org.apache.spark.sql.functions._
+    import graft.agg.SketchFunctions._
+    val rows = SparkEntry.queries("q64_kll_colliding")(spark, sf("sf0.01"))
+      .collect()
+    assert(rows.length === 5 && rows.forall(_.getAs[Long]("rank_ok") === 1L))
+    spark.catalog.clearCache()
+    // the gate's point is the COMPACTING regime: 60k values into 64 slots
+    // must have spilled levels, or the bound verdict is vacuous
+    val sk = graft.sketch.KllSketch.deserialize(
+      graft.queries.Tables.lineitem(spark, sf("sf0.01"))
+        .agg(kll_sketch(col("l_extendedprice").cast("double"), k = 64).as("sk"))
+        .head().getAs[Array[Byte]]("sk"))
+    assert(sk.numLevels > 1, s"k=64 over 60k rows should compact")
+    spark.catalog.clearCache()
+  }
+
   test("q60 runs its CM genuinely colliding at the verify scale") {
     import org.apache.spark.sql.functions._
     import graft.agg.SketchFunctions._

@@ -176,6 +176,34 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("2026-01-01 11:00:00.0", "a", 2L)))
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark across micro-batches") {
+    // the q15 dedup family's streaming face: duplicate content hashes
+    // arriving in later micro-batches (within the watermark window) must
+    // emit once, with state BOUNDED by the watermark — the 100 TB shape
+    // for deduplicating a document firehose
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "h")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup")
+      .start()
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    mem.addData(Seq((t("10:00"), "a"), (t("10:05"), "b"), (t("10:06"), "a")))
+    q.processAllAvailable()
+    // "a" recurs across the batch boundary: still a duplicate
+    mem.addData(Seq((t("10:10"), "a"), (t("10:20"), "c")))
+    q.processAllAvailable()
+    mem.addData(Seq((t("14:00"), "z"))) // advances the watermark past all
+    q.processAllAvailable()
+    val got = spark.sql("SELECT h FROM stream_dedup").collect()
+      .map(_.getString(0)).sorted.toSeq
+    q.stop()
+    assert(got === Seq("a", "b", "c", "z"))
+  }
+
   test("streaming sessionization == batch sessionization (state across micro-batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
