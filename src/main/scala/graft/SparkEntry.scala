@@ -130,7 +130,14 @@ object SparkEntry {
     // q64: the KLL approximate contract in the gate — a heavily-compacting
     // k=64 sketch whose estimates' exact ranks must land within the
     // published 2/k bound (the q60 discipline for the quantile family).
-    "q64_kll_colliding" -> SketchQueries.kllCollidingBound _
+    "q64_kll_colliding" -> SketchQueries.kllCollidingBound _,
+    // q65: unigram-LM quality filter (CCNet perplexity-filter shape) —
+    // vocab via SketchSelect.topK, per-token terms as integer micro-nats,
+    // corpus-relative (mean + margin) flag threshold.
+    "q65_lm_quality" -> TextQueries.lmQualityFilter _,
+    // q66: per-doc word-8-gram novelty census — the duplication-rate
+    // metric that sizes the dedup decision (q16/q37 feed).
+    "q66_ngram_novelty" -> TextQueries.ngramNovelty _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -640,6 +647,53 @@ object SparkEntry {
         | UNION ALL SELECT cast(0.75 AS double), cast(1 AS bigint)
         | UNION ALL SELECT cast(0.99 AS double), cast(1 AS bigint)
         |) ORDER BY p""".stripMargin,
+
+    // q65: full value twin. The 17 per-token terms are floored to integer
+    // micro-nats on both sides, so every downstream sum, mean, and flag
+    // comparison is exact bigint arithmetic — the only doubles are the 17
+    // ln() calls themselves (floor boundary flip probability ~1e-7).
+    "q65_lm_quality" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |cnt AS (SELECT unnest(t) AS w FROM tok),
+        |wc AS (SELECT w, count(*) AS c FROM cnt GROUP BY 1),
+        |tot AS (SELECT cast(sum(c) AS bigint) AS n FROM wc),
+        |vocab AS (SELECT w, c FROM wc ORDER BY c DESC, w ASC LIMIT 16),
+        |terms AS (SELECT w, cast(floor(-ln(cast(c AS double) / (SELECT n FROM tot))
+        |    * 1000000.0) AS bigint) AS term FROM vocab),
+        |oov AS (SELECT cast(floor(ln(cast((SELECT n FROM tot) AS double))
+        |    * 1000000.0) AS bigint) AS term),
+        |tokd AS (SELECT doc_id, source, unnest(t) AS w, len(t) AS n FROM tok),
+        |scored AS (SELECT doc_id, any_value(source) AS source,
+        |  cast(floor(cast(sum(coalesce(t2.term, (SELECT term FROM oov))) AS double)
+        |    / any_value(n)) AS bigint) AS score_micro
+        |  FROM tokd LEFT JOIN terms t2 USING (w) GROUP BY doc_id),
+        |m AS (SELECT cast(floor(cast(sum(score_micro) AS double) / count(*))
+        |    AS bigint) AS mean_micro FROM scored)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(CASE WHEN score_micro > (SELECT mean_micro FROM m) + 1100000
+        |    THEN 1 ELSE 0 END) AS bigint) AS flagged_docs,
+        |  cast(sum(score_micro) AS bigint) AS total_score_micro
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
+    // q66: full value twin — the q59 8-gram idiom (range/list_slice), all
+    // counts integer.
+    "q66_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  CASE WHEN len(t) < 8 THEN [] ELSE list_distinct(list_transform(
+        |    range(1, len(t) - 6), i -> array_to_string(list_slice(t, i, i + 7), ' ')))
+        |  END AS s FROM tok),
+        |ex AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+        |dfq AS (SELECT g, count(*) AS d FROM ex GROUP BY 1),
+        |nov AS (SELECT doc_id, any_value(source) AS source, count(*) AS n_sh,
+        |  cast(sum(CASE WHEN dfq.d = 1 THEN 1 ELSE 0 END) AS bigint) AS novel
+        |  FROM ex JOIN dfq USING (g) GROUP BY doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(CASE WHEN novel * 2 < n_sh THEN 1 ELSE 0 END) AS bigint)
+        |    AS dupish_docs,
+        |  cast(sum(n_sh) AS bigint) AS total_shingles,
+        |  cast(sum(novel) AS bigint) AS novel_shingles
+        |FROM nov GROUP BY source ORDER BY source""".stripMargin,
 
     "q41_lsh_neardup" ->
       """WITH u AS (

@@ -854,4 +854,102 @@ object TextQueries {
       .join(soundOk.withColumn("__k", lit(1)), Seq("__k"))
       .select(col("n_docs"), col("parity_ok"), col("sound_ok"))
   }
+
+  /** q65 LM vocabulary size. Deliberately SMALLER than the corpus
+    * vocabulary (31 words at every sf) so the out-of-vocabulary floor is a
+    * live code path at gate scale, not dead smoothing. */
+  private val LmVocabSize = 16L
+
+  /** q65 flag margin (micro-nats above the corpus mean). +1.1 nats flags
+    * the measured 2.6% / 3.2% / 5.8% worst tail at sf0.001/0.01/0.1 — a
+    * tail at every scale, where any fixed ABSOLUTE cutoff is a tail at one
+    * sf and a majority at another (the sf0.1 distribution sits a full nat
+    * higher than sf0.001's). */
+  private val LmFlagMarginMicro = 1100000L
+
+  /** q65: unigram-LM quality filter — the CCNet/Gopher perplexity-filter
+    * shape: score every document by its average per-token negative
+    * log-probability under a unigram model trained on the corpus itself,
+    * then flag documents scoring far above the corpus mean (improbable
+    * token mixes = boilerplate, gibberish, OOV-heavy text).
+    *
+    * Scale shape: the model is SMALL BY CONSTRUCTION — word counts collapse
+    * to vocabulary size under partial aggregation, the top-V vocabulary is
+    * selected by [[SketchSelect.topK]] (the library's own sketch-guided
+    * selection; exact, deterministic (count desc, word asc) tiebreak), and
+    * the V probabilities ship to executors as a LITERAL MAP inside a
+    * codegen'd HOF fold — scoring is then one map-side pass per document
+    * with zero extra shuffle (the bounded driver materialization pattern of
+    * the q39 centroids and cm_probe). Two corpus passes total (score, then
+    * flag against the mean), CCNet's own train-then-filter shape.
+    *
+    * Cross-engine determinism: every per-token term is pre-floored to
+    * INTEGER micro-nats, so all downstream sums/means are exact bigint
+    * arithmetic — no float-accumulation-order drift between Spark and
+    * DuckDB anywhere past the 17 term constants. The corpus-relative flag
+    * threshold (mean + margin) is likewise integer-exact. */
+  def lmQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val wc = docs.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = wc.agg(sum(col("c"))).head().getLong(0)
+    val vocab = SketchSelect.topK(wc, "c", "w", LmVocabSize).collect()
+    wc.unpersist()
+    val terms: Map[String, Long] = vocab.map { r =>
+      r.getAs[String]("w") ->
+        math.floor(-math.log(r.getAs[Long]("c").toDouble / total) * 1e6).toLong
+    }.toMap
+    val oovTerm = math.floor(math.log(total.toDouble) * 1e6).toLong
+    val termMap = typedLit(terms)
+    def scored = docs.select(col("doc_id"), col("source"),
+      floor(aggregate(col("t"), lit(0L),
+        (acc, x) => acc + coalesce(element_at(termMap, x), lit(oovTerm)))
+        .cast("double") / size(col("t"))).as("score_micro"))
+    val mean = scored.agg(
+      floor(sum(col("score_micro")).cast("double") / count(lit(1)))
+        .as("mean_micro"))
+    scored.crossJoin(mean)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_micro") > col("mean_micro") + lit(LmFlagMarginMicro),
+          1L).otherwise(0L)).as("flagged_docs"),
+        sum(col("score_micro")).as("total_score_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** q66: per-document n-gram novelty census — the duplication-rate /
+    * memorization metric: what fraction of each document's distinct word
+    * 8-grams appears NOWHERE else in the corpus? Documents where more than
+    * half their 8-grams recur elsewhere are the near-duplicate/boilerplate
+    * mass a curation pass would route into dedup (q16/q37) — this is the
+    * corpus-wide measurement that sizes that decision.
+    *
+    * Scale shape: explode → df groupBy (map-side combine collapses
+    * per-partition repeats) → equi-join back on the shingle key → per-doc
+    * counts. Both shuffles are standard partial-agg-friendly key shuffles
+    * (the q59 verify-join shape); nothing is all-pairs, and the hottest
+    * shingle key only ever joins count-many rows to ONE df row. All
+    * verdict arithmetic is integer (counts and a 2× comparison) — exact in
+    * both engines. Documents under 8 tokens carry no 8-grams and drop out
+    * identically on both sides. */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        array_distinct(wordShingles8(split(col("text"), " "))).as("sh"))
+    val ex = docs.select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("d"))
+    val perDoc = ex.join(dfreq, Seq("g"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("novel"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("novel") * 2 < col("n_sh"), 1L).otherwise(0L))
+          .as("dupish_docs"),
+        sum(col("n_sh")).as("total_shingles"),
+        sum(col("novel")).as("novel_shingles"))
+      .orderBy(col("source"))
+  }
 }
