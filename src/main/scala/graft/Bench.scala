@@ -36,12 +36,16 @@ object Bench {
     * back-to-back reps of one path can ALL land inside a burst (observed:
     * one path 8× slow while its neighbors were nominal); spreading a path's
     * samples across the full measurement window makes the min robust. */
-  def timeAllInterleaved(paths: Seq[(String, () => Unit)], cycles: Int = 3)
-      : Map[String, Double] = {
-    paths.foreach(_._2()) // warm
+  /** `teardown` runs after every sample OUTSIDE the timed region — cache
+    * teardown must never bill the path that owns the cache (the same rule
+    * the gate runner applies to clearCache). */
+  def timeAllInterleaved(paths: Seq[(String, () => Unit)], cycles: Int = 3,
+      teardown: () => Unit = () => ()): Map[String, Double] = {
+    paths.foreach { p => p._2(); teardown() } // warm
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to cycles; (name, f) <- paths) {
       val sec = time(f())._2
+      teardown()
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
     best.toMap

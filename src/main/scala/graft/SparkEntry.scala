@@ -137,7 +137,11 @@ object SparkEntry {
     "q65_lm_quality" -> TextQueries.lmQualityFilter _,
     // q66: per-doc word-8-gram novelty census — the duplication-rate
     // metric that sizes the dedup decision (q16/q37 feed).
-    "q66_ngram_novelty" -> TextQueries.ngramNovelty _
+    "q66_ngram_novelty" -> TextQueries.ngramNovelty _,
+    // q67: PII-redaction census over deterministically planted PII (the
+    // corpus carries none organically; the q41/q59 in-gate fixture
+    // discipline) — counts + chars removed + recomputed residual audit.
+    "q67_pii_census" -> TextQueries.piiCensus _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -694,6 +698,38 @@ object SparkEntry {
         |  cast(sum(n_sh) AS bigint) AS total_shingles,
         |  cast(sum(novel) AS bigint) AS novel_shingles
         |FROM nov GROUP BY source ORDER BY source""".stripMargin,
+
+    // q67: full value twin — identical planting expression, identical
+    // regex classes (Java-regex ∩ RE2 dialect), residual audit RECOMPUTED
+    // on DuckDB's own redaction output ('g' = replace-all, Spark's
+    // regexp_replace default).
+    "q67_pii_census" ->
+      """WITH planted AS (SELECT doc_id, source,
+        |  text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN ' contact user' || cast(doc_id AS varchar) || '@example.com'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN ' call 555-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |red AS (SELECT doc_id, source, t,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS r
+        |  FROM planted)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS bigint)
+        |    AS emails_redacted,
+        |  cast(sum(len(regexp_extract_all(t, '\b555-[0-9]{4}\b'))) AS bigint)
+        |    AS phones_redacted,
+        |  cast(sum(length(t) - length(r)) AS bigint) AS chars_removed,
+        |  cast(sum(len(regexp_extract_all(r,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(r, '\b555-[0-9]{4}\b'))) AS bigint)
+        |    AS residual_matches
+        |FROM red GROUP BY source ORDER BY source""".stripMargin,
 
     "q41_lsh_neardup" ->
       """WITH u AS (

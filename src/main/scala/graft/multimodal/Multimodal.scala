@@ -172,7 +172,10 @@ object Multimodal {
     while (i < n) {
       val lo = raw(2 * i) & 0xff
       val hi = raw(2 * i + 1).toInt
-      out(i) = ((hi << 8) | lo).toShort / 32767.0f
+      // divide by 32768, not 32767: a full-scale negative sample (-32768,
+      // legal PCM16 even though our own encoder never emits it) must land
+      // exactly on -1.0, not outside the documented [-1,1] contract
+      out(i) = ((hi << 8) | lo).toShort / 32768.0f
       i += 1
     }
     (out, fmt.getSampleRate.toInt)

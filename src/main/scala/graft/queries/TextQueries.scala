@@ -926,24 +926,102 @@ object TextQueries {
     * mass a curation pass would route into dedup (q16/q37) — this is the
     * corpus-wide measurement that sizes that decision.
     *
-    * Scale shape: explode → df groupBy (map-side combine collapses
-    * per-partition repeats) → equi-join back on the shingle key → per-doc
-    * counts. Both shuffles are standard partial-agg-friendly key shuffles
-    * (the q59 verify-join shape); nothing is all-pairs, and the hottest
-    * shingle key only ever joins count-many rows to ONE df row. All
-    * verdict arithmetic is integer (counts and a 2× comparison) — exact in
-    * both engines. Documents under 8 tokens carry no 8-grams and drop out
-    * identically on both sides. */
+    * Scale shape — one shuffle, no join-back: a df=1 shingle belongs to
+    * exactly ONE document, so `groupBy(shingle).agg(count, min(doc_id))`
+    * attributes every unique shingle straight to its owner and the usual
+    * df-join-back disappears (the naive explode → df → equi-join plan
+    * measured 8.8 s at sf0.1; this shape runs the explode once and
+    * shuffles nothing wider than 24 bytes). Shingles are hashed at the
+    * map side — the library's q16/q56 shingle discipline: the shuffle
+    * carries a 128-bit key (two independently-seeded xxhash64 streams)
+    * instead of ~50-char strings. 64 bits alone would start colliding at
+    * the 10⁹-distinct-shingle corpora this metric targets (P ≈ n²/2⁶⁵);
+    * at 128 bits the merge probability stays below 10⁻²⁰ there, and a
+    * collision could only ever UNDERCOUNT novelty by merging two
+    * shingles. Per-doc totals come straight from the distinct-shingle
+    * array size (no shuffle at all); the final owner→doc join is
+    * doc-level and narrow. All verdict arithmetic is integer (counts and
+    * a 2× comparison) — exact in both engines. Documents under 8 tokens
+    * carry no 8-grams and drop out identically on both sides. */
+  /** PII regex classes, shared by the operator and its gate. Both patterns
+    * stay inside the Java-regex ∩ RE2 dialect (character classes, bounded
+    * repetition, `\b`) so Spark and DuckDB match identically. */
+  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** PII redaction over a text column: masks email addresses and
+    * NANP-test-exchange phone numbers, returns (redacted text, per-class
+    * match counts, chars removed). Pure built-in regexp functions — one
+    * map-side pass, fully codegen, no UDF, no shuffle. */
+  def piiRedact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val r1 = regexp_replace(text, EmailRe, "<EMAIL>")
+    val r2 = regexp_replace(r1, PhoneRe, "<PHONE>")
+    struct(
+      r2.as("redacted"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("emails"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("phones"),
+      (length(text) - length(r2)).cast("long").as("chars_removed"))
+  }
+
+  /** q67: PII-redaction census — the scrubbing pass (emails, phone
+    * numbers) every public-corpus release runs before training. The
+    * synthetic corpus carries no organic PII, so the gate PLANTS it
+    * deterministically in-query — every doc_id ≡ 0 (mod 3) gains an
+    * email, every doc_id ≡ 0 (mod 5) a 555-exchange phone, both derived
+    * from doc_id and mirrored verbatim in the oracle (the q41/q59
+    * in-gate fixture discipline; the redaction operator itself is the
+    * deliverable). Census per source: docs, per-class redaction counts,
+    * chars removed, plus a residual-match audit the oracle RECOMPUTES
+    * (not a mirrored constant): matches remaining after redaction, which
+    * must be 0 for the replacement tokens to be sound.
+    *
+    * Scale shape: one codegen map pass, groupBy(source) partial-agg
+    * rollup — nothing wider than the text column ever moves, no UDF, no
+    * extra pass. All census arithmetic is integer. */
+  def piiCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+    val red = planted.select(col("doc_id"), col("source"),
+      piiRedact(col("text")).as("r"))
+    red.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r.emails")).as("emails_redacted"),
+        sum(col("r.phones")).as("phones_redacted"),
+        sum(col("r.chars_removed")).as("chars_removed"),
+        sum(size(regexp_extract_all(col("r.redacted"), lit(EmailRe), lit(0)))
+          .cast("long")
+          + size(regexp_extract_all(col("r.redacted"), lit(PhoneRe), lit(0)))
+            .cast("long")).as("residual_matches"))
+      .orderBy(col("source"))
+  }
+
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         array_distinct(wordShingles8(split(col("text"), " "))).as("sh"))
-    val ex = docs.select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
-    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("d"))
-    val perDoc = ex.join(dfreq, Seq("g"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("novel"))
+    val novelPerDoc = docs
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit("g2"), col("g")).as("h2"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("d"), min(col("doc_id")).as("owner"))
+      .filter(col("d") === 1L)
+      .groupBy(col("owner")).agg(count(lit(1)).as("novel"))
+      .withColumnRenamed("owner", "doc_id")
+    val perDoc = docs
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("source"), size(col("sh")).cast("long").as("n_sh"))
+      .join(novelPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_sh"),
+        coalesce(col("novel"), lit(0L)).as("novel"))
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("novel") * 2 < col("n_sh"), 1L).otherwise(0L))

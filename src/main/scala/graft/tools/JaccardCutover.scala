@@ -30,15 +30,17 @@ object JaccardCutover {
       val paths: Seq[(String, () => Unit)] = ts.flatMap { t =>
         Seq(
           s"tiled_$t" -> (() => {
-            TextQueries.ngramJaccardPath(spark, dir, t, usePrefix = false).count()
-            spark.catalog.clearCache(): Unit
+            TextQueries.ngramJaccardPath(spark, dir, t, usePrefix = false).count(): Unit
           }),
           s"prefix_$t" -> (() => {
-            TextQueries.ngramJaccardPath(spark, dir, t, usePrefix = true).count()
-            spark.catalog.clearCache(): Unit
+            TextQueries.ngramJaccardPath(spark, dir, t, usePrefix = true).count(): Unit
           }))
       }
-      val best = Bench.timeAllInterleaved(paths)
+      // cache teardown outside the timed region (gate-runner discipline) —
+      // billing clearCache to the sample would bias against the path that
+      // persists more intermediates
+      val best = Bench.timeAllInterleaved(paths,
+        teardown = () => spark.catalog.clearCache())
       for (t <- ts) {
         val tiled = best(s"tiled_$t")
         val prefix = best(s"prefix_$t")

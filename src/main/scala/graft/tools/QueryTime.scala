@@ -11,12 +11,11 @@ object QueryTime {
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
     val paths: Seq[(String, () => Unit)] = names.map { n =>
-      n -> (() => {
-        SparkEntry.queries(n)(spark, dir).count()
-        spark.catalog.clearCache(): Unit
-      })
+      n -> (() => { SparkEntry.queries(n)(spark, dir).count(): Unit })
     }
-    Bench.timeAllInterleaved(paths).toSeq.sortBy(_._1).foreach {
+    // clearCache between samples, outside the timed region (gate discipline)
+    Bench.timeAllInterleaved(paths,
+        teardown = () => spark.catalog.clearCache()).toSeq.sortBy(_._1).foreach {
       case (n, s) => println(f"[qtime] $n $s%.3f s")
     }
     spark.stop()

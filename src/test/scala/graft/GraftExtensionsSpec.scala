@@ -72,6 +72,25 @@ class GraftExtensionsSpec extends SparkTestBase {
       .agg(cm_sketch(col("k"), col("w"), eps = 1e-3, seed = seed).as("sk"))
       .select(cm_query(col("sk"), lit("k2"))).head().getLong(0)
 
+  test("hll_sketch_fast literal p/seed arguments reach the aggregate") {
+    installed; fixture()
+    // non-default p AND seed through the extensions literal-arg builder —
+    // a swapped foldNum index would build a different register file and
+    // break bit-parity with the udaf built at the same (p, seed)
+    val sqlBytes = spark.sql(
+      "SELECT hll_sketch_fast(k, 12, 7) AS sk FROM ext_fixture")
+      .head().getAs[Array[Byte]]("sk")
+    val udafBytes = spark.table("ext_fixture")
+      .agg(hll_sketch(col("k"), p = 12, seed = 7L).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(sqlBytes, udafBytes))
+    // and they genuinely differ from the default-(p, seed) build
+    val defBytes = spark.sql(
+      "SELECT hll_sketch_fast(k) AS sk FROM ext_fixture")
+      .head().getAs[Array[Byte]]("sk")
+    assert(!java.util.Arrays.equals(sqlBytes, defBytes))
+  }
+
   test("hll/kll SQL surface: build udafs + native probes match the Scala API") {
     installed; fixture()
     val sqlRow = spark.sql(

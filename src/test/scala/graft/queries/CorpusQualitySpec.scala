@@ -72,6 +72,43 @@ class CorpusQualitySpec extends SparkTestBase {
     assert(r.getLong(3) === 5L && r.getLong(4) === 5L) // 12 tokens → 5 8-grams, all novel
   }
 
+  test("q67: piiRedact masks planted email+phone, leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      "reach me at jane.doe+spam@sub.example.org today",
+      "call 555-0142 before noon",
+      "plain word soup with no pii at all",
+      "both a@b.io and 555-9999 here").toDF("text")
+      .select(col("text"), TextQueries.piiRedact(col("text")).as("r"))
+      .select(col("r.redacted"), col("r.emails"), col("r.phones")).collect()
+    assert(rows(0).getString(0) === "reach me at <EMAIL> today")
+    assert((rows(0).getLong(1), rows(0).getLong(2)) === ((1L, 0L)))
+    assert(rows(1).getString(0) === "call <PHONE> before noon")
+    assert((rows(1).getLong(1), rows(1).getLong(2)) === ((0L, 1L)))
+    assert(rows(2).getString(0) === "plain word soup with no pii at all")
+    assert((rows(2).getLong(1), rows(2).getLong(2)) === ((0L, 0L)))
+    assert(rows(3).getString(0) === "both <EMAIL> and <PHONE> here")
+    // idempotent: redacting redacted text changes nothing
+    val again = Seq(rows(3).getString(0)).toDF("text")
+      .select(TextQueries.piiRedact(col("text")).as("r"))
+      .select(col("r.redacted"), col("r.emails") + col("r.phones")).head()
+    assert(again.getString(0) === rows(3).getString(0) && again.getLong(1) === 0L)
+  }
+
+  test("q67 census: planted counts match the doc_id arithmetic, residual 0") {
+    val out = SparkEntry.queries("q67_pii_census")(spark, sf("sf0.001"))
+      .agg(sum("n_docs"), sum("emails_redacted"), sum("phones_redacted"),
+        sum("residual_matches")).head()
+    val ids = Tables.documents(spark, sf("sf0.001"))
+      .agg(count(lit(1)),
+        sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)),
+        sum(when(col("doc_id") % 5 === 0, 1L).otherwise(0L))).head()
+    assert(out.getLong(0) === ids.getLong(0))
+    assert(out.getLong(1) === ids.getLong(1)) // one email per mod-3 doc
+    assert(out.getLong(2) === ids.getLong(2)) // one phone per mod-5 doc
+    assert(out.getLong(3) === 0L)             // nothing survives redaction
+  }
+
   test("q65/q66 on the driver corpus: verdict columns in range") {
     for (s <- Seq("sf0.001", "sf0.01")) {
       val lm = SparkEntry.queries("q65_lm_quality")(spark, sf(s))
