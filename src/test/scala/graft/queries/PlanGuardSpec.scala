@@ -98,6 +98,33 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q65 scoring is a map-side literal-map pass, not a token join") {
+    // the LM ships as a literal map inside the HOF fold: the returned plan
+    // may cross-join the ONE-ROW corpus mean (BroadcastNestedLoopJoin) but
+    // must never equi-join the token stream against a vocabulary table —
+    // that join is the shape whose shuffle the design exists to avoid
+    val p = plan("q65_lm_quality")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("q66 never shuffles a shingle string — only its 128-bit hash") {
+    // the scale claim: shingles are hashed map-side, so no Exchange may
+    // partition on the string column `g`; the h1/h2 groupBy is the only
+    // wide stage over exploded data
+    val p = plan("q66_ngram_novelty")
+    assert(!p.matches("(?s).*hashpartitioning\\(g#.*"), p)
+    assert(p.contains("xxhash64"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("q67 is join-free: one codegen map pass + the source rollup") {
+    val p = plan("q67_pii_census")
+    assert(!p.contains("Join"), p)
+    spark.catalog.clearCache()
+  }
+
   test("subset parity verdicts still pass at sf0.01 (the verify scale)") {
     // sf0.01 is where the driver's oracle runs; divisor is 2 there for q17
     // (2500 docs), so this exercises a genuinely proper subset
