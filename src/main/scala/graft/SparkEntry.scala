@@ -713,18 +713,22 @@ object SparkEntry {
         |    THEN ' call 555-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
         |    ELSE '' END AS t
         |  FROM documents),
-        |red AS (SELECT doc_id, source, t,
-        |  regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS r
-        |  FROM planted)
+        |red1 AS (SELECT doc_id, source, t,
+        |  regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |    AS r1
+        |  FROM planted),
+        |red AS (SELECT doc_id, source, t, r1,
+        |  regexp_replace(r1, '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS r,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_em,
+        |  len(regexp_extract_all(r1, '\b555-[0-9]{4}\b')) AS n_ph
+        |  FROM red1)
         |SELECT source, count(*) AS n_docs,
-        |  cast(sum(len(regexp_extract_all(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS bigint)
-        |    AS emails_redacted,
-        |  cast(sum(len(regexp_extract_all(t, '\b555-[0-9]{4}\b'))) AS bigint)
-        |    AS phones_redacted,
-        |  cast(sum(length(t) - length(r)) AS bigint) AS chars_removed,
+        |  cast(sum(n_em) AS bigint) AS emails_redacted,
+        |  cast(sum(n_ph) AS bigint) AS phones_redacted,
+        |  cast(sum(length(t) - length(r) + 7 * (n_em + n_ph)) AS bigint)
+        |    AS chars_removed,
         |  cast(sum(len(regexp_extract_all(r,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |    + len(regexp_extract_all(r, '\b555-[0-9]{4}\b'))) AS bigint)

@@ -943,24 +943,66 @@ object TextQueries {
     * doc-level and narrow. All verdict arithmetic is integer (counts and
     * a 2× comparison) — exact in both engines. Documents under 8 tokens
     * carry no 8-grams and drop out identically on both sides. */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        array_distinct(wordShingles8(split(col("text"), " "))).as("sh"))
+    val novelPerDoc = docs
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit("g2"), col("g")).as("h2"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("d"), min(col("doc_id")).as("owner"))
+      .filter(col("d") === 1L)
+      .groupBy(col("owner")).agg(count(lit(1)).as("novel"))
+      .withColumnRenamed("owner", "doc_id")
+    val perDoc = docs
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("source"), size(col("sh")).cast("long").as("n_sh"))
+      .join(novelPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_sh"),
+        coalesce(col("novel"), lit(0L)).as("novel"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("novel") * 2 < col("n_sh"), 1L).otherwise(0L))
+          .as("dupish_docs"),
+        sum(col("n_sh")).as("total_shingles"),
+        sum(col("novel")).as("novel_shingles"))
+      .orderBy(col("source"))
+  }
+
   /** PII regex classes, shared by the operator and its gate. Both patterns
     * stay inside the Java-regex ∩ RE2 dialect (character classes, bounded
     * repetition, `\b`) so Spark and DuckDB match identically. */
   private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[queries] val PhoneRe = "\\b555-[0-9]{4}\\b"
 
-  /** PII redaction over a text column: masks email addresses and
+  /** PII redaction over a text column: masks email addresses then
     * NANP-test-exchange phone numbers, returns (redacted text, per-class
-    * match counts, chars removed). Pure built-in regexp functions — one
-    * map-side pass, fully codegen, no UDF, no shuffle. */
+    * replacement counts, matched chars removed). Pure built-in regexp
+    * functions — one map-side pass, fully codegen, no UDF, no shuffle.
+    *
+    * The counts report the replacements the sequential rewrite ACTUALLY
+    * performs, so the phone count runs over the email-redacted
+    * intermediate, not the original: in "555-0142@example.com" the phone
+    * digits are consumed by the email mask before the phone pass ever
+    * sees them (one email, zero phones), and in "a@b.cc555-0142" the
+    * phone's leading word boundary only exists AFTER the email mask is
+    * substituted (zero phones on the original, one performed).
+    * `chars_removed` is the total length of matched PII text (length
+    * delta plus the 7-char mask per replacement) — non-negative even for
+    * matches shorter than their mask ("a@b.io" → "<EMAIL>"). */
   def piiRedact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val r1 = regexp_replace(text, EmailRe, "<EMAIL>")
     val r2 = regexp_replace(r1, PhoneRe, "<PHONE>")
+    val emails = size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
+    val phones = size(regexp_extract_all(r1, lit(PhoneRe), lit(0))).cast("long")
     struct(
       r2.as("redacted"),
-      size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("emails"),
-      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("phones"),
-      (length(text) - length(r2)).cast("long").as("chars_removed"))
+      emails.as("emails"),
+      phones.as("phones"),
+      (length(text) - length(r2) + (emails + phones) * lit(7L)).cast("long")
+        .as("chars_removed"))
   }
 
   /** q67: PII-redaction census — the scrubbing pass (emails, phone
@@ -971,9 +1013,9 @@ object TextQueries {
     * from doc_id and mirrored verbatim in the oracle (the q41/q59
     * in-gate fixture discipline; the redaction operator itself is the
     * deliverable). Census per source: docs, per-class redaction counts,
-    * chars removed, plus a residual-match audit the oracle RECOMPUTES
-    * (not a mirrored constant): matches remaining after redaction, which
-    * must be 0 for the replacement tokens to be sound.
+    * matched chars removed, plus a residual-match audit the oracle
+    * RECOMPUTES (not a mirrored constant): matches remaining after
+    * redaction, which must be 0 for the replacement tokens to be sound.
     *
     * Scale shape: one codegen map pass, groupBy(source) partial-agg
     * rollup — nothing wider than the text column ever moves, no UDF, no
@@ -1000,34 +1042,6 @@ object TextQueries {
           .cast("long")
           + size(regexp_extract_all(col("r.redacted"), lit(PhoneRe), lit(0)))
             .cast("long")).as("residual_matches"))
-      .orderBy(col("source"))
-  }
-
-  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        array_distinct(wordShingles8(split(col("text"), " "))).as("sh"))
-    val novelPerDoc = docs
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"),
-        xxhash64(col("g")).as("h1"), xxhash64(lit("g2"), col("g")).as("h2"))
-      .groupBy(col("h1"), col("h2"))
-      .agg(count(lit(1)).as("d"), min(col("doc_id")).as("owner"))
-      .filter(col("d") === 1L)
-      .groupBy(col("owner")).agg(count(lit(1)).as("novel"))
-      .withColumnRenamed("owner", "doc_id")
-    val perDoc = docs
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("source"), size(col("sh")).cast("long").as("n_sh"))
-      .join(novelPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("n_sh"),
-        coalesce(col("novel"), lit(0L)).as("novel"))
-    perDoc.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("novel") * 2 < col("n_sh"), 1L).otherwise(0L))
-          .as("dupish_docs"),
-        sum(col("n_sh")).as("total_shingles"),
-        sum(col("novel")).as("novel_shingles"))
       .orderBy(col("source"))
   }
 }

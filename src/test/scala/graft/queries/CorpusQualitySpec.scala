@@ -95,6 +95,25 @@ class CorpusQualitySpec extends SparkTestBase {
     assert(again.getString(0) === rows(3).getString(0) && again.getLong(1) === 0L)
   }
 
+  test("q67: counts equal performed replacements when PII classes interact") {
+    import spark.implicits._
+    val rows = Seq(
+      "ping 555-0142@example.com now", // phone digits consumed by email mask
+      "see a@b.cc555-0142",            // phone boundary exists only post-mask
+      "short a@b.io mail").toDF("text")
+      .select(TextQueries.piiRedact(col("text")).as("r"))
+      .select(col("r.redacted"), col("r.emails"), col("r.phones"),
+        col("r.chars_removed")).collect()
+    assert(rows(0).getString(0) === "ping <EMAIL> now")
+    assert((rows(0).getLong(1), rows(0).getLong(2)) === ((1L, 0L)))
+    assert(rows(1).getString(0) === "see <EMAIL><PHONE>")
+    assert((rows(1).getLong(1), rows(1).getLong(2)) === ((1L, 1L)))
+    assert(rows(1).getLong(3) === 14L) // |a@b.cc| + |555-0142| matched chars
+    // matched-chars stays non-negative when the match is shorter than its
+    // 7-char mask: "a@b.io" removed 6 chars though the text got LONGER
+    assert(rows(2).getLong(3) === 6L)
+  }
+
   test("q67 census: planted counts match the doc_id arithmetic, residual 0") {
     val out = SparkEntry.queries("q67_pii_census")(spark, sf("sf0.001"))
       .agg(sum("n_docs"), sum("emails_redacted"), sum("phones_redacted"),
