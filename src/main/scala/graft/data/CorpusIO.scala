@@ -44,30 +44,56 @@ object CorpusIO {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
-  /** The well-formed rows of a JSONL read, in table column order.
-    * Well-formed = the line parsed AND carries the required `doc_id` key
-    * (the interchange contract: a document without an id is unusable
-    * downstream). The doc_id predicate also keeps every counting query
-    * legal on the raw file scan: Spark refuses plans whose referenced
-    * columns prune down to ONLY the internal corrupt column (the pruning
-    * would skip the very parse that populates it), and
-    * `documentsRows(df).count()` would do exactly that on a
-    * corrupt-only filter. */
+  /** Well-formedness predicate: the line parsed AND every schema field
+    * is present with its declared type (the interchange contract — the
+    * documents table has no optional columns).
+    *
+    * Requiring EVERY field non-null is also what makes corruption mean
+    * the same thing in every plan: PERMISSIVE corruption is judged
+    * against the columns the plan actually parses, so a predicate that
+    * checked only `_corrupt_record` would let column pruning skip a
+    * type-corrupt unreferenced field — the row would count as
+    * well-formed in a bare `.count()` yet vanish from a full-width
+    * materialization. Referencing all five fields forces the full parse
+    * into any plan built on this predicate (a non-foldable reference,
+    * unlike a constant-true anchor, which Catalyst would eliminate and
+    * re-prune). It also satisfies Spark's rule that raw-file plans may
+    * not reference ONLY the internal corrupt column. */
+  private def wellFormed: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    DocumentsSchema.fieldNames.foldLeft(col(CorruptCol).isNull) {
+      (acc, f) => acc && col(f).isNotNull
+    }
+  }
+
+  /** The well-formed rows of a JSONL read, in table column order. */
   def documentsRows(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    df.filter(col(CorruptCol).isNull && col("doc_id").isNotNull)
+    df.filter(wellFormed)
       .select(DocumentsSchema.fieldNames.map(col).toSeq: _*)
   }
 
-  /** Count of malformed/id-less lines in a JSONL read: total minus
-    * well-formed — two count jobs, no caching. */
-  def corruptCount(df: DataFrame): Long =
-    df.count() - documentsRows(df).count()
+  /** Count of malformed/incomplete lines in a JSONL read — ONE full-width
+    * pass (a conditional count over the same [[wellFormed]] predicate
+    * [[documentsRows]] filters on), not a total-minus-rows double scan. */
+  def corruptCount(df: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    df.agg(count(when(!wellFormed, lit(1)))).head().getLong(0)
+  }
 
-  /** Write documents rows as JSONL with stable column order. */
+  /** Write documents rows as JSONL with stable column order. A null
+    * `doc_id` fails LOUDLY (raise_error): the JSON writer drops null
+    * fields, so such a row would read back as corrupt — the writer
+    * enforces the same contract the reader checks, keeping round-trips
+    * lossless by construction. */
   def writeDocumentsJsonl(df: DataFrame, path: String): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions._
     df.select(DocumentsSchema.fieldNames.map(col).toSeq: _*)
+      .withColumn("doc_id",
+        when(col("doc_id").isNotNull, col("doc_id"))
+          .otherwise(raise_error(
+            lit("writeDocumentsJsonl: doc_id is required and was null"))
+            .cast("long")))
       .write.mode("overwrite").json(path)
   }
 }

@@ -17,14 +17,12 @@ class CorpusIOSpec extends SparkTestBase {
     val rows = CorpusIO.documentsRows(back)
     assert(rows.schema === docs.select(
       CorpusIO.DocumentsSchema.fieldNames.map(col).toSeq: _*).schema)
-    // value-lossless: identical row multisets via per-row hash aggregation
-    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val r = df
-        .select(xxhash64(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars")).as("h"))
-        .agg(count(lit(1)), expr("bit_xor(h)")).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // value-lossless: identical row MULTISETS — sorted per-row hashes, so
+    // even-multiplicity duplicate/drop pairs can't cancel as they would
+    // under an xor/sum signature
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(xxhash64(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")).as("h")).collect().map(_.getLong(0)).sorted.toSeq
     assert(sig(rows) === sig(docs))
   }
 
@@ -41,5 +39,39 @@ class CorpusIOSpec extends SparkTestBase {
     val rows = CorpusIO.documentsRows(back)
     assert(rows.count() === 2L)
     assert(rows.agg(sum("doc_id")).head().getLong(0) === 3L)
+  }
+
+  test("partial corruption counts the same in narrow and wide plans") {
+    // n_chars carries a string: only a full-width parse flags the row.
+    // The wellFormed predicate anchors every plan to the full parse, so
+    // corruptCount, documentsRows.count() and a materialized collect all
+    // agree — the row set must not depend on downstream projection.
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-part").toString
+    val p = java.nio.file.Paths.get(dir, "partial.jsonl")
+    java.nio.file.Files.writeString(p,
+      """{"doc_id":1,"text":"good","lang":"en","source":"s0","n_chars":4}
+        |{"doc_id":7,"text":"bad","lang":"en","source":"s0","n_chars":"oops"}
+        |""".stripMargin)
+    val back = CorpusIO.readDocumentsJsonl(spark, p.toString)
+    assert(CorpusIO.corruptCount(back) === 1L)
+    val rows = CorpusIO.documentsRows(back)
+    assert(rows.count() === 1L)                       // narrow plan
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))                                    // projected plan
+    assert(rows.collect().length === 1)               // full materialization
+  }
+
+  test("writer fails loudly on a null doc_id instead of emitting a corrupt line") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-null").toString
+    val bad = Seq((java.lang.Long.valueOf(1L), "t", "en", "s0", java.lang.Long.valueOf(1L)),
+      (null.asInstanceOf[java.lang.Long], "u", "en", "s0", java.lang.Long.valueOf(1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[Exception] {
+      CorpusIO.writeDocumentsJsonl(bad, s"$dir/bad.jsonl")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("doc_id is required")), chain(e).mkString(" | "))
   }
 }
