@@ -114,6 +114,27 @@ class CorpusQualitySpec extends SparkTestBase {
     assert(rows(2).getLong(3) === 6L)
   }
 
+  test("q67: masks stay inert beside leftover text; \\b blocks digit runs") {
+    import spark.implicits._
+    // "a@b.cc@d.ee": the email pass consumes "a@b.cc"; the leftover
+    // "@d.ee" must not combine with the mask into a new email — '>' sits
+    // outside the local-part class, so "<EMAIL>@d.ee" cannot re-match.
+    // "555-0142555-9999": neither 8-digit run has the \b the phone
+    // pattern requires on both sides — zero matches, text unchanged.
+    val rows = Seq("a@b.cc@d.ee", "555-0142555-9999").toDF("text")
+      .select(TextQueries.piiRedact(col("text")).as("r"))
+      .select(col("r.redacted"), col("r.emails") + col("r.phones")).collect()
+    assert(rows(0).getString(0) === "<EMAIL>@d.ee")
+    assert(rows(0).getLong(1) === 1L)
+    assert(rows(1).getString(0) === "555-0142555-9999")
+    assert(rows(1).getLong(1) === 0L)
+    // and the leftover-adjacent result is a fixpoint: re-redaction finds 0
+    val again = Seq(rows(0).getString(0)).toDF("text")
+      .select(TextQueries.piiRedact(col("text")).as("r"))
+      .select(col("r.redacted"), col("r.emails") + col("r.phones")).head()
+    assert(again.getString(0) === rows(0).getString(0) && again.getLong(1) === 0L)
+  }
+
   test("q67 census: planted counts match the doc_id arithmetic, residual 0") {
     val out = SparkEntry.queries("q67_pii_census")(spark, sf("sf0.001"))
       .agg(sum("n_docs"), sum("emails_redacted"), sum("phones_redacted"),
