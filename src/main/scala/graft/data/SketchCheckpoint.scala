@@ -76,8 +76,13 @@ object SketchCheckpoint {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def committedSnapDirs(ckptDir: String): Seq[String] =
+  /** Committed snapshot ids, ascending — the table's commit history. */
+  def snapshots(ckptDir: String): Seq[Int] =
     committedEntries(ckptDir).map(_._1).distinct.sorted
+
+  private def committedSnapDirs(ckptDir: String,
+      asOfSnapshot: Int = Int.MaxValue): Seq[String] =
+    snapshots(ckptDir).filter(_ <= asOfSnapshot)
       .map(id => s"$ckptDir/shards/snap-$id")
 
   /**
@@ -112,20 +117,35 @@ object SketchCheckpoint {
     done ++ todo
   }
 
-  /** Level 2: fold every COMMITTED shard sketch into one (order-free). */
-  def mergeShards(spark: SparkSession, ckptDir: String): Array[Byte] = {
-    val shards = spark.read.parquet(committedSnapDirs(ckptDir): _*)
-    shards.agg(cm_merge(col("sketch")).as("merged"))
+  /** Level 2: fold every COMMITTED shard sketch into one (order-free).
+    *
+    * `asOfSnapshot` is Iceberg-style TIME TRAVEL: commits are append-only
+    * (a snapshot only ever ADDS shards), so "the table as of snapshot N"
+    * is exactly the union of commit files with id ≤ N — a historical read
+    * needs no data copies and no tombstones, just manifest filtering, the
+    * same mechanism Iceberg's snapshot list provides. Default reads the
+    * latest state. */
+  def mergeShards(spark: SparkSession, ckptDir: String,
+      asOfSnapshot: Int = Int.MaxValue): Array[Byte] = {
+    val dirs = committedSnapDirs(ckptDir, asOfSnapshot)
+    require(dirs.nonEmpty, s"no committed snapshot <= $asOfSnapshot in $ckptDir")
+    spark.read.parquet(dirs: _*)
+      .agg(cm_merge(col("sketch")).as("merged"))
       .head().getAs[Array[Byte]]("merged")
   }
 
-  /** Lineage/metrics view over the committed checkpoint state. */
-  def lineage(spark: SparkSession, ckptDir: String): DataFrame = {
+  /** Lineage/metrics view over the committed checkpoint state —
+    * `asOfSnapshot` scopes it to a historical snapshot, mirroring
+    * [[mergeShards]], so an audit can answer "which shards, rows and
+    * wall time made up the table as of commit N". */
+  def lineage(spark: SparkSession, ckptDir: String,
+      asOfSnapshot: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val walls = committedEntries(ckptDir)
+      .filter(_._1 <= asOfSnapshot)
       .map { case (_, shard, wallMs) => (shard, wallMs) }
       .toDF("shard", "wall_ms")
-    spark.read.parquet(committedSnapDirs(ckptDir): _*)
+    spark.read.parquet(committedSnapDirs(ckptDir, asOfSnapshot): _*)
       .select(col("shard"), col("rows_seen"), col("total_weight"))
       .join(walls, Seq("shard"))
       .orderBy("shard")

@@ -56,6 +56,44 @@ class CheckpointCorpusSpec extends SparkTestBase {
     corpus.unpersist()
   }
 
+  test("time travel: as-of-snapshot merge reads exactly the commits <= N") {
+    val dir = Files.createTempDirectory("ckpt-tt").toString
+    val corpus = CorpusGenerator.keyed(spark, 30000, 8).cache()
+    // two commits: shards {0..5} then {6..11}
+    SketchCheckpoint.buildShards(corpus, "token", "weight",
+      numShards = 12, ckptDir = dir, eps = 1e-3, failAfterShards = 6)
+    SketchCheckpoint.buildShards(corpus, "token", "weight",
+      numShards = 12, ckptDir = dir, eps = 1e-3)
+    val snaps = SketchCheckpoint.snapshots(dir)
+    assert(snaps.length === 2 && snaps === snaps.sorted)
+    // as-of the FIRST snapshot: bit-identical to a direct build over only
+    // the first commit's shard rows (history is immutable - the second
+    // commit must not leak into a historical read)
+    val firstShards = SketchCheckpoint.committedShards(dir).toSeq.sorted.take(6)
+    val expected = corpus
+      .withColumn("shard", pmod(xxhash64(col("token")), lit(12)).cast("int"))
+      .filter(col("shard").isin(firstShards: _*))
+      .agg(cm_sketch(col("token"), col("weight"), eps = 1e-3).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val asOf = SketchCheckpoint.mergeShards(spark, dir, asOfSnapshot = snaps.head)
+    assert(java.util.Arrays.equals(asOf, expected))
+    // latest == default == full table
+    assert(java.util.Arrays.equals(
+      SketchCheckpoint.mergeShards(spark, dir),
+      SketchCheckpoint.mergeShards(spark, dir, asOfSnapshot = snaps.last)))
+    // an as-of BEFORE the first commit refuses loudly instead of returning
+    // an empty merge
+    intercept[IllegalArgumentException] {
+      SketchCheckpoint.mergeShards(spark, dir, asOfSnapshot = snaps.head - 1)
+    }
+    // lineage scopes to the same historical view: 6 shards as of the
+    // first commit, all 12 at latest
+    assert(SketchCheckpoint.lineage(spark, dir, asOfSnapshot = snaps.head)
+      .count() === 6L)
+    assert(SketchCheckpoint.lineage(spark, dir).count() === 12L)
+    corpus.unpersist()
+  }
+
   test("orphan snapshot data (crash between write and commit) never double-counts") {
     val dir = Files.createTempDirectory("ckpt3").toString
     val corpus = CorpusGenerator.keyed(spark, 20000, 8).cache()
