@@ -657,7 +657,8 @@ object SparkEntry {
     // comparison is exact bigint arithmetic — the only doubles are the 17
     // ln() calls themselves (floor boundary flip probability ~1e-7).
     "q65_lm_quality" ->
-      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
         |cnt AS (SELECT unnest(t) AS w FROM tok),
         |wc AS (SELECT w, count(*) AS c FROM cnt GROUP BY 1),
         |tot AS (SELECT cast(sum(c) AS bigint) AS n FROM wc),

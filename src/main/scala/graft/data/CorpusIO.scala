@@ -81,18 +81,24 @@ object CorpusIO {
     df.agg(count(when(!wellFormed, lit(1)))).head().getLong(0)
   }
 
-  /** Write documents rows as JSONL with stable column order. A null
-    * `doc_id` fails LOUDLY (raise_error): the JSON writer drops null
-    * fields, so such a row would read back as corrupt — the writer
-    * enforces the same contract the reader checks, keeping round-trips
-    * lossless by construction. */
+  /** Write documents rows as JSONL with stable column order. A null in
+    * ANY field fails LOUDLY (raise_error): the JSON writer drops null
+    * fields, so such a row would read back as corrupt under the reader's
+    * all-fields-required [[wellFormed]] contract — the writer enforces
+    * the SAME contract, keeping round-trips lossless by construction.
+    * (The guard is embedded in the emitted doc_id column: a detached
+    * guard column would be pruned away unevaluated.) */
   def writeDocumentsJsonl(df: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions._
+    val allNonNull = DocumentsSchema.fieldNames.map(col(_).isNotNull)
+      .reduce(_ && _)
     df.select(DocumentsSchema.fieldNames.map(col).toSeq: _*)
       .withColumn("doc_id",
-        when(col("doc_id").isNotNull, col("doc_id"))
-          .otherwise(raise_error(
-            lit("writeDocumentsJsonl: doc_id is required and was null"))
+        when(allNonNull, col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit("writeDocumentsJsonl: all fields are required; " +
+              "null field in row doc_id="),
+            coalesce(col("doc_id").cast("string"), lit("null"))))
             .cast("long")))
       .write.mode("overwrite").json(path)
   }

@@ -141,11 +141,14 @@ object SketchCheckpoint {
   def lineage(spark: SparkSession, ckptDir: String,
       asOfSnapshot: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
+    val dirs = committedSnapDirs(ckptDir, asOfSnapshot)
+    require(dirs.nonEmpty,
+      s"no committed snapshot <= $asOfSnapshot in $ckptDir")
     val walls = committedEntries(ckptDir)
       .filter(_._1 <= asOfSnapshot)
       .map { case (_, shard, wallMs) => (shard, wallMs) }
       .toDF("shard", "wall_ms")
-    spark.read.parquet(committedSnapDirs(ckptDir, asOfSnapshot): _*)
+    spark.read.parquet(dirs: _*)
       .select(col("shard"), col("rows_seen"), col("total_weight"))
       .join(walls, Seq("shard"))
       .orderBy("shard")

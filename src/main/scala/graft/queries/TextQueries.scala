@@ -889,7 +889,12 @@ object TextQueries {
     * DuckDB anywhere past the 17 term constants. The corpus-relative flag
     * threshold (mean + margin) is likewise integer-exact. */
   def lmQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    // null-text docs can't be scored and are excluded from the census —
+    // the oracle's unnest would drop them from `scored` implicitly, so the
+    // exclusion must be EXPLICIT on both sides or n_docs and the corpus
+    // mean diverge the first time a null row enters the table
     val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
     val wc = docs.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))

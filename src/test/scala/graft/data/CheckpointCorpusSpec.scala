@@ -86,6 +86,9 @@ class CheckpointCorpusSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SketchCheckpoint.mergeShards(spark, dir, asOfSnapshot = snaps.head - 1)
     }
+    intercept[IllegalArgumentException] {
+      SketchCheckpoint.lineage(spark, dir, asOfSnapshot = snaps.head - 1)
+    }
     // lineage scopes to the same historical view: 6 shards as of the
     // first commit, all 12 at latest
     assert(SketchCheckpoint.lineage(spark, dir, asOfSnapshot = snaps.head)

@@ -61,17 +61,28 @@ class CorpusIOSpec extends SparkTestBase {
     assert(rows.collect().length === 1)               // full materialization
   }
 
-  test("writer fails loudly on a null doc_id instead of emitting a corrupt line") {
+  test("writer fails loudly on ANY null field instead of emitting a corrupt line") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-null").toString
-    val bad = Seq((java.lang.Long.valueOf(1L), "t", "en", "s0", java.lang.Long.valueOf(1L)),
-      (null.asInstanceOf[java.lang.Long], "u", "en", "s0", java.lang.Long.valueOf(1L)))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val e = intercept[Exception] {
-      CorpusIO.writeDocumentsJsonl(bad, s"$dir/bad.jsonl")
-    }
     def chain(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
-    assert(chain(e).exists(_.contains("doc_id is required")), chain(e).mkString(" | "))
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-null").toString
+    // null key field
+    val badId = Seq((java.lang.Long.valueOf(1L), "t", "en", "s0", java.lang.Long.valueOf(1L)),
+      (null.asInstanceOf[java.lang.Long], "u", "en", "s0", java.lang.Long.valueOf(1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e1 = intercept[Exception] {
+      CorpusIO.writeDocumentsJsonl(badId, s"$dir/bad1.jsonl")
+    }
+    assert(chain(e1).exists(_.contains("all fields are required")), chain(e1).mkString(" | "))
+    // null NON-key field: ignoreNullFields would silently drop the key
+    // from the JSON line and the reader would quarantine the row — the
+    // writer must refuse it up front, not just a null doc_id
+    val badText = Seq((java.lang.Long.valueOf(7L), null.asInstanceOf[String],
+      "en", "s0", java.lang.Long.valueOf(0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e2 = intercept[Exception] {
+      CorpusIO.writeDocumentsJsonl(badText, s"$dir/bad2.jsonl")
+    }
+    assert(chain(e2).exists(_.contains("doc_id=7")), chain(e2).mkString(" | "))
   }
 }

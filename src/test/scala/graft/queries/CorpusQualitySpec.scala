@@ -49,6 +49,18 @@ class CorpusQualitySpec extends SparkTestBase {
     assert(bySource("s1") === bySource("s2"))
   }
 
+  test("q65: null-text docs are excluded from the census on both sides") {
+    // the oracle's unnest drops null-text docs implicitly; the Spark side
+    // must exclude them explicitly or n_docs and the mean diverge
+    val dir = fixture(Seq(
+      (1L, "alpha beta alpha beta", "s1"),
+      (2L, null.asInstanceOf[String], "s1"),
+      (3L, "alpha beta alpha beta", "s2")))
+    val out = TextQueries.lmQualityFilter(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("s1" -> 1L, "s2" -> 1L)) // the null row is not counted
+  }
+
   test("q66: planted duplicate pair vs unique doc") {
     // 10-token docs → 3 distinct 8-grams each. a/b identical → all their
     // 8-grams have df=2 (novel=0, dupish). c unique → novel=3, not dupish.
