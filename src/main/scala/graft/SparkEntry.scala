@@ -654,8 +654,11 @@ object SparkEntry {
 
     // q65: full value twin. The 17 per-token terms are floored to integer
     // micro-nats on both sides, so every downstream sum, mean, and flag
-    // comparison is exact bigint arithmetic — the only doubles are the 17
-    // ln() calls themselves (floor boundary flip probability ~1e-7).
+    // comparison is exact bigint arithmetic. This STANDALONE form computes
+    // the terms with DuckDB's own ln() (floor boundary flip probability
+    // ~1e-7 per term against JVM libm); the gate runs the RESOLVED form
+    // (oracleSqlResolved), where the constants are injected as literals
+    // from the one JVM call site and that residual risk is zero.
     "q65_lm_quality" ->
       """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
         |  FROM documents WHERE text IS NOT NULL),
@@ -1012,4 +1015,46 @@ object SparkEntry {
         |SELECT id_a, id_b, sim_micro FROM pairs
         |WHERE sim_micro >= 350000 ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** q65 oracle with the micro-nat constants INJECTED as literals —
+    * computed once on the driver through the operator's own
+    * [[TextQueries.lmTermMicro]]/[[lmOovTermMicro]] (one libm call site,
+    * ADVICE r4). The oracle still independently derives the word counts,
+    * vocabulary selection, per-doc scoring, corpus mean and flag census;
+    * only the 17 transcendental constants arrive as a (count → term)
+    * lookup joined on the oracle's OWN counts — so a wrong Spark-side
+    * count still fails the join/values and the gate. */
+  private def lmQualityOracleResolved(spark: SparkSession, sfDir: String): String = {
+    val (lookup, oovTerm) = TextQueries.lmTermLookup(spark, sfDir)
+    if (lookup.isEmpty) return oracleSql("q65_lm_quality") // degenerate corpus
+    val values = lookup
+      .map { case (c, t) => s"(cast($c AS bigint), cast($t AS bigint))" }
+      .mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |cnt AS (SELECT unnest(t) AS w FROM tok),
+       |wc AS (SELECT w, count(*) AS c FROM cnt GROUP BY 1),
+       |vocab AS (SELECT w, c FROM wc ORDER BY c DESC, w ASC LIMIT 16),
+       |lmterm AS (SELECT * FROM (VALUES $values) AS lt(c, term)),
+       |terms AS (SELECT v.w, lt.term FROM vocab v JOIN lmterm lt ON v.c = lt.c),
+       |tokd AS (SELECT doc_id, source, unnest(t) AS w, len(t) AS n FROM tok),
+       |scored AS (SELECT doc_id, any_value(source) AS source,
+       |  cast(floor(cast(sum(coalesce(t2.term, cast($oovTerm AS bigint))) AS double)
+       |    / any_value(n)) AS bigint) AS score_micro
+       |  FROM tokd LEFT JOIN terms t2 USING (w) GROUP BY doc_id),
+       |m AS (SELECT cast(floor(cast(sum(score_micro) AS double) / count(*))
+       |    AS bigint) AS mean_micro FROM scored)
+       |SELECT source, count(*) AS n_docs,
+       |  cast(sum(CASE WHEN score_micro > (SELECT mean_micro FROM m) + 1100000
+       |    THEN 1 ELSE 0 END) AS bigint) AS flagged_docs,
+       |  cast(sum(score_micro) AS bigint) AS total_score_micro
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** The oracle map the driver's gate actually runs (Verify dumps this):
+    * [[oracleSql]] — every entry of which stays standalone-valid ANSI SQL —
+    * refined with the data-dependent literal injections that remove
+    * cross-engine fragility (q65: the libm floor-boundary dependence). */
+  def oracleSqlResolved(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql + ("q65_lm_quality" -> lmQualityOracleResolved(spark, sfDir))
 }

@@ -39,7 +39,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // resolved form: static oracle SQL + driver-computed literal
+    // injections (q65 micro-nat constants; q68 artifact path) — see
+    // SparkEntry.oracleSqlResolved
+    val json = SparkEntry.oracleSqlResolved(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -40,8 +40,14 @@ object BoundAudit {
     * build + a filtered groupBy + a broadcast-probe pass. */
   def collidingSliceAudit(df: DataFrame, keyCol: String, weightCol: String,
       samplePred: Column, eps: Double, delta: Double): DataFrame = {
+    // persisted: TWO consumers (the full-stream sketch aggregate — an
+    // action inside cm_probe_with_total that also materializes the cache —
+    // and the exact sampled-slice groupBy in the returned lazy plan);
+    // uncached, the events scan ran twice per gate run (ADVICE r4).
+    // Released by the gate runners' clearCache contract.
     val keyed = df.select(col(keyCol).cast("string").as("k"),
       col(weightCol).cast("long").as("w"), samplePred.as("sampled"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sk = keyed.agg(cm_sketch(col("k"), col("w"), eps, delta).as("sk"))
     val epsEff = effectiveEps(eps)
     val (probe, total) = cm_probe_with_total(sk)
@@ -72,8 +78,10 @@ object BoundAudit {
     * regime the violation counts are deterministically zero. */
   def sampledSliceAudit(df: DataFrame, keyCol: String, weightCol: String,
       samplePred: Column, eps: Double, delta: Double): DataFrame = {
+    // persisted for the same two-consumer shape as collidingSliceAudit
     val keyed = df.select(col(keyCol).cast("string").as("k"),
       col(weightCol).cast("long").as("w"), samplePred.as("sampled"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sk = keyed.agg(cm_sketch(col("k"), col("w"), eps, delta).as("sk"))
     val sampledExact = keyed
       .filter(col("sampled"))

