@@ -141,7 +141,13 @@ object SparkEntry {
     // q67: PII-redaction census over deterministically planted PII (the
     // corpus carries none organically; the q41/q59 in-gate fixture
     // discipline) — counts + chars removed + recomputed residual audit.
-    "q67_pii_census" -> TextQueries.piiCensus _
+    "q67_pii_census" -> TextQueries.piiCensus _,
+    // q68: JSONL interchange round-trip gate — write documents as JSONL
+    // (clean + a planted missing-field corrupt shard), read back through
+    // the explicit-schema PERMISSIVE reader, census per source; the
+    // oracle re-reads THE SAME FILES with DuckDB's read_json.
+    "q68_jsonl_census" -> ((s: SparkSession, d: String) =>
+      graft.data.CorpusIO.jsonlCensusGate(s, d))
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -739,6 +745,12 @@ object SparkEntry {
         |    AS residual_matches
         |FROM red GROUP BY source ORDER BY source""".stripMargin,
 
+    // q68: reads the gate's own JSONL artifact back with DuckDB's reader
+    // (see jsonlOracleSql); this static entry carries the driver's sf0.01
+    // path, the resolved map injects the actual one.
+    "q68_jsonl_census" ->
+      jsonlOracleSql(graft.data.CorpusIO.jsonlGatePath("/root/testdata/sf0.01")),
+
     "q41_lsh_neardup" ->
       """WITH u AS (
         |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
@@ -1016,6 +1028,29 @@ object SparkEntry {
         |WHERE sim_micro >= 350000 ORDER BY id_a, id_b""".stripMargin
   )
 
+  /** q68 oracle over the JSONL artifact at `base`: DuckDB's own
+    * newline-delimited JSON reader with the SAME explicit column types as
+    * the Spark reader (explicit-schema readers resolve a missing field to
+    * NULL in both engines), the same all-fields-required well-formedness
+    * contract, and the same per-source census. The path is a data-
+    * dependent literal — the static [[oracleSql]] carries the driver's
+    * sf0.01 location, [[oracleSqlResolved]] injects the actual one. */
+  private def jsonlOracleSql(base: String): String = {
+    val wf = "doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL" +
+      " AND source IS NOT NULL AND n_chars IS NOT NULL"
+    s"""WITH j AS (SELECT * FROM read_json(
+       |    ['$base/clean/*.json', '$base/broken/*.txt'],
+       |    format = 'newline_delimited',
+       |    columns = {'doc_id': 'BIGINT', 'text': 'VARCHAR',
+       |      'lang': 'VARCHAR', 'source': 'VARCHAR', 'n_chars': 'BIGINT'}))
+       |SELECT source,
+       |  cast(count(CASE WHEN $wf THEN 1 END) AS bigint) AS n_rows,
+       |  cast(count(CASE WHEN NOT ($wf) THEN 1 END) AS bigint) AS n_corrupt,
+       |  cast(coalesce(sum(CASE WHEN $wf THEN n_chars END), 0) AS bigint)
+       |    AS total_chars
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** q65 oracle with the micro-nat constants INJECTED as literals —
     * computed once on the driver through the operator's own
     * [[TextQueries.lmTermMicro]]/[[lmOovTermMicro]] (one libm call site,
@@ -1056,5 +1091,8 @@ object SparkEntry {
     * refined with the data-dependent literal injections that remove
     * cross-engine fragility (q65: the libm floor-boundary dependence). */
   def oracleSqlResolved(spark: SparkSession, sfDir: String): Map[String, String] =
-    oracleSql + ("q65_lm_quality" -> lmQualityOracleResolved(spark, sfDir))
+    oracleSql +
+      ("q65_lm_quality" -> lmQualityOracleResolved(spark, sfDir)) +
+      ("q68_jsonl_census" ->
+        jsonlOracleSql(graft.data.CorpusIO.jsonlGatePath(sfDir)))
 }

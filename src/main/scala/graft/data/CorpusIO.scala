@@ -34,15 +34,17 @@ object CorpusIO {
 
   private val CorruptCol = "_corrupt_record"
 
-  /** Read a JSONL documents dump with the explicit schema; malformed
-    * lines survive as non-null [[CorruptCol]] instead of failing the
-    * scan. */
-  def readDocumentsJsonl(spark: SparkSession, path: String): DataFrame =
+  /** Read a JSONL documents dump (one or more paths; explicit literal
+    * paths rather than a brace glob, whose un-expanded form Spark's
+    * streaming-sink metadata probe stats and noisily warns about) with
+    * the explicit schema; malformed lines survive as non-null
+    * [[CorruptCol]] instead of failing the scan. */
+  def readDocumentsJsonl(spark: SparkSession, paths: String*): DataFrame =
     spark.read
       .schema(DocumentsSchema.add(StructField(CorruptCol, StringType)))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
+      .json(paths: _*)
 
   /** Well-formedness predicate: the line parsed AND every schema field
     * is present with its declared type (the interchange contract — the
@@ -79,6 +81,57 @@ object CorpusIO {
   def corruptCount(df: DataFrame): Long = {
     import org.apache.spark.sql.functions._
     df.agg(count(when(!wellFormed, lit(1)))).head().getLong(0)
+  }
+
+  /** Deterministic on-disk location of the q68 JSONL round-trip artifact
+    * for a given source sf directory — under the build's target/ so the
+    * gate never writes outside the repo; absolute so the DuckDB oracle
+    * (which receives this path as an injected literal) reads the same
+    * files regardless of its own working directory. */
+  def jsonlGatePath(sfDir: String): String =
+    new java.io.File(
+      "target/q68_jsonl/" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getAbsolutePath
+
+  /** q68: the JSONL interchange gate — write the documents table out as
+    * JSONL, read it back through the explicit-schema PERMISSIVE reader,
+    * and census well-formed vs contract-broken lines per source block.
+    *
+    * Corruption is PLANTED deterministically (the q67 fixture
+    * discipline): every doc_id ≡ 0 (mod 7) is written as a VALID JSON
+    * line that omits the `text` and `n_chars` fields — the
+    * missing-required-field face of the [[wellFormed]] contract, which
+    * both engines can count identically (explicit-schema readers resolve
+    * a missing field to NULL in Spark and DuckDB alike). The
+    * syntactically-malformed face (`_corrupt_record` non-null) stays
+    * spec-covered in CorpusIOSpec: DuckDB's `read_json` has no corrupt-
+    * record channel, so unparseable lines can't cross the oracle, only
+    * contract-broken ones. The oracle reads THE SAME FILES with its own
+    * JSON reader — the round-trip (writer layout, reader schema,
+    * missing-field semantics, census arithmetic) is what's checked.
+    *
+    * Scale shape: one write pass, one read pass, groupBy(source)
+    * partial-agg census — no joins, nothing wider than the text column
+    * moves, and the corruption census shares the single read (the
+    * [[corruptCount]] one-pass discipline). */
+  def jsonlCensusGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = jsonlGatePath(sfDir)
+    val docs = graft.queries.Tables.documents(spark, sfDir)
+      .filter(DocumentsSchema.fieldNames.map(col(_).isNotNull).reduce(_ && _))
+    writeDocumentsJsonl(docs.filter(col("doc_id") % 7 =!= 0), s"$base/clean")
+    docs.filter(col("doc_id") % 7 === 0)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("source")))
+        .as("value"))
+      .write.mode("overwrite").text(s"$base/broken")
+    val back = readDocumentsJsonl(spark, s"$base/clean", s"$base/broken")
+    back.groupBy(col("source"))
+      .agg(
+        count(when(wellFormed, lit(1))).as("n_rows"),
+        count(when(!wellFormed, lit(1))).as("n_corrupt"),
+        coalesce(sum(when(wellFormed, col("n_chars"))), lit(0L))
+          .as("total_chars"))
+      .orderBy(col("source"))
   }
 
   /** Write documents rows as JSONL with stable column order. A null in

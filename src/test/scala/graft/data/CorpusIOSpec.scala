@@ -61,6 +61,30 @@ class CorpusIOSpec extends SparkTestBase {
     assert(rows.collect().length === 1)               // full materialization
   }
 
+  test("q68 jsonl census gate: planted corruption counted, clean chars conserved") {
+    val sfDir = sf("sf0.001")
+    val census = CorpusIO.jsonlCensusGate(spark, sfDir).collect()
+    // independent expectation straight from the parquet table: doc_id % 7
+    // == 0 rows were written text/n_chars-less (contract-corrupt), the
+    // rest must round-trip with their chars intact
+    val expect = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("doc_id") % 7 =!= 0, 1L).otherwise(0L)).as("n_rows"),
+        sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)).as("n_corrupt"),
+        coalesce(sum(when(col("doc_id") % 7 =!= 0, col("n_chars"))), lit(0L))
+          .as("total_chars"))
+      .orderBy(col("source")).collect()
+    assert(census.length === expect.length)
+    census.zip(expect).foreach { case (c, e) =>
+      assert(c.getString(0) === e.getString(0))
+      assert(c.getLong(1) === e.getLong(1), s"n_rows @ ${c.getString(0)}")
+      assert(c.getLong(2) === e.getLong(2), s"n_corrupt @ ${c.getString(0)}")
+      assert(c.getLong(3) === e.getLong(3), s"total_chars @ ${c.getString(0)}")
+    }
+    assert(census.map(_.getLong(2)).sum > 0L, "fixture must plant some corruption")
+  }
+
   test("writer fails loudly on ANY null field instead of emitting a corrupt line") {
     import spark.implicits._
     def chain(t: Throwable): Seq[String] =
