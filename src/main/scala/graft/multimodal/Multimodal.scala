@@ -2,7 +2,6 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sketch.XxHash64
 
 /** Typed multimodal record: opaque payload bytes + typed metadata. */
 final case class MediaRecord(
@@ -24,38 +23,23 @@ final case class MediaFeatures(
  * Multimodal-column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, batched per-partition decode → feature extraction.
  *
- * Codecs (round 4, VERDICT r3 item 4): the image and audio paths are REAL —
- * payloads are genuine PNG ([[encodePng]]/[[decodePng]], `javax.imageio`)
- * and WAV ([[encodeWav]]/[[decodeWav]], `javax.sound.sampled`) bytes, both
- * JDK-native so no external library is needed, and [[extractFeatures]]
- * decodes them for real before the (also real) bilinear resize. Only VIDEO
- * remains stubbed ([[decodeStub]] — the JDK ships no video codec; a
- * production build swaps in JNI/ffmpeg behind the same
- * `(payload, frameIndex) → grid` contract). Everything Spark-side is real
- * and tested: schema, typed Dataset API, per-partition batching
- * (`mapPartitions`, the Scala analogue of `mapInPandas` batch processing),
- * frame sampling, and partition-count preservation.
+ * Codecs: ALL THREE modalities are real JDK codecs — no stub anywhere
+ * since round 5. Payloads are genuine PNG ([[encodePng]]/[[decodePng]],
+ * `javax.imageio`), WAV ([[encodeWav]]/[[decodeWav]],
+ * `javax.sound.sampled`), and multi-frame animated GIF
+ * ([[encodeGif]]/[[decodeGifFrame]] — the one motion format the JDK can
+ * both write and read, closing the round-4 video stub; a production build
+ * swaps the GIF coder for JNI/ffmpeg behind the identical
+ * `(payload, frameIndex) → grid` contract). [[extractFeatures]] decodes
+ * every modality for real before the (also real) bilinear resize.
+ * Everything Spark-side is real and tested: schema, typed Dataset API,
+ * per-partition batching (`mapPartitions`, the Scala analogue of
+ * `mapInPandas` batch processing), frame sampling, and partition-count
+ * preservation.
  */
 object Multimodal {
 
   final val FeatureDim = 16
-
-  /**
-   * STUB DECODER — video only (deterministic fake; the JDK has no video
-   * codec). A production build replaces this with the real codec call
-   * (e.g. JNI to ffmpeg); the signature `(payload, frameIndex) → feature
-   * vector` is the real contract. Image/audio no longer route here.
-   */
-  def decodeStub(payload: Array[Byte], frameIndex: Int): Array[Float] = {
-    val out = new Array[Float](FeatureDim)
-    var i = 0
-    while (i < FeatureDim) {
-      val h = XxHash64.hashBytes(payload, frameIndex.toLong * 131 + i)
-      out(i) = (h.toDouble / Long.MaxValue.toDouble).toFloat
-      i += 1
-    }
-    out
-  }
 
   // ---- real image codec (PNG, javax.imageio) --------------------------
 
@@ -119,6 +103,113 @@ object Multimodal {
       j += 1
     }
     (out, w, h)
+  }
+
+  // ---- real video codec (multi-frame animated GIF, javax.imageio) -----
+
+  /** Deterministic grayscale frame sequence for video `id`: the image
+    * test pattern advanced per frame (phase shift — adjacent frames
+    * differ the way consecutive video frames do), `n` frames. */
+  def synthVideoFrames(id: Long, w: Int, h: Int, n: Int): Seq[Array[Float]] =
+    (0 until n).map(f => synthImageGrid(id + f * 37L, w, h))
+
+  /** A [0,1] grid as an 8-bit image over an EXPLICIT 256-entry gray
+    * palette — the GIF writer serializes an indexed image's color table
+    * verbatim, which is what makes the GIF round-trip exact to 1/255
+    * (handing it TYPE_BYTE_GRAY would leave palette construction to the
+    * writer's own quantizer). */
+  private def grayIndexedImage(grid: Array[Float], w: Int, h: Int)
+      : java.awt.image.BufferedImage = {
+    require(grid.length == w * h, s"grid ${grid.length} != ${w}x$h")
+    val ramp = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = img.getRaster
+    var j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) {
+        val v = math.max(0, math.min(255, math.round(grid(j * w + i) * 255f)))
+        raster.setSample(i, j, 0, v)
+        i += 1
+      }
+      j += 1
+    }
+    img
+  }
+
+  /** Encode a frame sequence as a real multi-frame animated GIF
+    * (`prepareWriteSequence`/`writeToSequence` — the JDK's one motion
+    * container with both a writer and a reader). */
+  def encodeGif(frames: Seq[Array[Float]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty, "a video payload needs at least one frame")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false) // no executor-local temp files
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(grayIndexedImage(f, w, h), null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.flush()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Number of frames stored in a GIF payload. */
+  def gifFrameCount(payload: Array[Byte]): Int = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false)
+      reader.getNumImages(true)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Decode frame `frameIndex` of a GIF payload to a [0,1] grayscale
+    * row-major grid + dims. The index CLAMPS to the stored frame count —
+    * the real-decoder contract for a sampler asking past the end of a
+    * short clip. Our encoder's palette is gray (R=G=B), so any single
+    * RGB channel reconstructs the sample exactly. */
+  def decodeGifFrame(payload: Array[Byte], frameIndex: Int)
+      : (Array[Float], Int, Int) = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      require(n >= 1, "payload is not a decodable GIF")
+      val img = reader.read(math.min(math.max(0, frameIndex), n - 1))
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Float](w * h)
+      var j = 0
+      while (j < h) {
+        var i = 0
+        while (i < w) {
+          out(j * w + i) = ((img.getRGB(i, j) >> 16) & 0xff) / 255.0f
+          i += 1
+        }
+        j += 1
+      }
+      (out, w, h)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   // ---- real audio codec (WAV PCM16, javax.sound.sampled) --------------
@@ -222,10 +313,14 @@ object Multimodal {
     out
   }
 
-  /** Per-modality frame decode to a FeatureDim vector — REAL for image
-    * (PNG decode → real bilinear resize to 4×4) and audio (WAV decode →
-    * |sample| envelope resampled to 16 bins through the same resize kernel
-    * at h=1); stub only for video. */
+  /** Per-modality frame decode to a FeatureDim vector — REAL for all
+    * three: image (PNG decode → real bilinear resize to 4×4), audio (WAV
+    * decode → |sample| envelope resampled to 16 bins through the same
+    * resize kernel at h=1), and video (GIF frame decode → the image
+    * resize). Per-frame GIF access re-scans the container (LZW frames are
+    * delta-ordered), which is fine at the gate's ≤8 tiny frames; a
+    * production JNI/ffmpeg swap would hold one demuxer per record behind
+    * this same contract. Unknown modalities fail loudly. */
   def decodeFeature(rec: MediaRecord, frameIndex: Int): Array[Float] =
     rec.modality match {
       case "image" =>
@@ -237,7 +332,11 @@ object Multimodal {
         var i = 0
         while (i < s.length) { env(i) = math.abs(s(i)); i += 1 }
         resizeBilinear(env, s.length, 1, FeatureDim, 1)
-      case _ => decodeStub(rec.payload, frameIndex)
+      case "video" =>
+        val (g, w, h) = decodeGifFrame(rec.payload, frameIndex)
+        resizeBilinear(g, w, h, 4, 4)
+      case other =>
+        throw new IllegalArgumentException(s"unknown modality: $other")
     }
 
   /** Batched decode + mean-pool over sampled frames. Runs per partition —
@@ -262,17 +361,21 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table derived from `documents` — REAL
-    * binary payloads since round 4: image rows carry genuine PNGs, audio
-    * rows genuine WAVs (both synthesized per id, sized small — ≤40×21 px /
-    * ≤1280 samples — so the 50k-doc sf0.1 gate encodes+decodes in ~a
-    * second across cores); video rows stay opaque bytes for the stub.
-    * Modality routing and the video frame rule are unchanged and mirrored
-    * in the q27 oracle (doc_id % 3; duration (doc_id % 10 + 1) s). */
+    * binary payloads for every modality since round 5: image rows carry
+    * genuine PNGs, audio rows genuine WAVs, video rows genuine multi-frame
+    * animated GIFs at 1 fps (one stored frame per clip-second, so the
+    * frame sampler exercises real per-frame decode). All payloads are
+    * sized small — ≤40×21 px stills, ≤1280 samples, ≤10 frames of
+    * ≤48×24 px — so the 50k-doc sf0.1 gate encodes+decodes in ~a second
+    * across cores. Modality routing and the video frame rule are
+    * unchanged and mirrored in the q27 oracle (doc_id % 3; duration
+    * (doc_id % 10 + 1) s); the metadata dims are now the TRUE stored
+    * frame dims. */
   def synthesize(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+      .select(col("doc_id")).as[Long]
+      .map { id =>
         (id % 3) match {
           case 0 =>
             val w = ((id % 4) * 8 + 16).toInt
@@ -285,23 +388,27 @@ object Multimodal {
             MediaRecord(id, "audio",
               encodeWav(synthAudioSamples(id, n), rate), rate, 1, 0L)
           case _ =>
-            MediaRecord(id, "video", text.getBytes("UTF-8"),
-              ((id % 4) * 160 + 320).toInt, ((id % 4) * 90 + 180).toInt,
-              (id % 10) * 1000 + 1000)
+            val w = ((id % 4) * 8 + 24).toInt
+            val h = ((id % 4) * 4 + 12).toInt
+            val durMs = (id % 10) * 1000 + 1000
+            val nFrames = (durMs / 1000).toInt // 1 fps clip
+            MediaRecord(id, "video",
+              encodeGif(synthVideoFrames(id, w, h, nFrames), w, h),
+              w, h, durMs)
         }
       }
   }
 
-  /** q27: feature-extraction census per modality. The decode itself is a
-    * stub, but the PLUMBING this query exercises — typed schema, binary
-    * payloads, per-partition batching, frame sampling — is deterministic
-    * arithmetic, so those columns ARE oracle-checked against DuckDB
-    * (SparkEntry); the stub-derived feature values are pinned separately by
-    * [[featureCensusWithChecksum]] in QueriesSmokeSpec. */
+  /** q27: feature-extraction census per modality. The PLUMBING this query
+    * exercises — typed schema, binary payloads, per-partition batching,
+    * frame sampling — is deterministic arithmetic, so those columns ARE
+    * oracle-checked against DuckDB (SparkEntry); the codec-derived feature
+    * values (real PNG/WAV/GIF decodes, not SQL-expressible) are pinned
+    * separately by [[featureCensusWithChecksum]] in QueriesSmokeSpec. */
   def featureCensus(spark: SparkSession, sfDir: String): DataFrame =
     featureCensusWithChecksum(spark, sfDir).drop("feature_checksum_milli")
 
-  /** The census plus the xxhash-stub feature checksum (not SQL-mirrorable;
+  /** The census plus the decoded-feature checksum (not SQL-mirrorable;
     * determinism asserted in ScalaTest). */
   def featureCensusWithChecksum(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = extractFeatures(synthesize(spark, sfDir))

@@ -2,9 +2,9 @@ package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The round-4 real codecs (VERDICT r3 item 4): genuine PNG and WAV bytes
-  * round-trip through the JDK coders, and the image/audio feature paths run
-  * decode → real resize with NO stub involvement. */
+/** The real codecs: genuine PNG, WAV, and multi-frame GIF bytes round-trip
+  * through the JDK coders, and every modality's feature path runs
+  * decode → real resize — no stub exists anywhere since round 5. */
 class MultimodalCodecSpec extends AnyFunSuite {
 
   test("PNG encode -> decode round-trips the grid exactly") {
@@ -39,7 +39,6 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val rec = MediaRecord(3L, "image", Multimodal.encodePng(grid, w, h), w, h, 0L)
     val feat = Multimodal.decodeFeature(rec, 0)
     assert(feat.toSeq === Multimodal.resizeBilinear(grid, w, h, 4, 4).toSeq)
-    assert(feat.toSeq !== Multimodal.decodeStub(rec.payload, 0).toSeq)
   }
 
   test("audio feature = real decode + envelope resample, not the stub") {
@@ -54,12 +53,49 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val env = dec.map(math.abs)
     assert(feat.toSeq ===
       Multimodal.resizeBilinear(env, env.length, 1, Multimodal.FeatureDim, 1).toSeq)
-    assert(feat.toSeq !== Multimodal.decodeStub(rec.payload, 0).toSeq)
   }
 
-  test("video still routes to the stub (only remaining stub surface)") {
-    val rec = MediaRecord(5L, "video", Array[Byte](1, 2, 3), 320, 180, 3000L)
-    assert(Multimodal.decodeFeature(rec, 2).toSeq ===
-      Multimodal.decodeStub(rec.payload, 2).toSeq)
+  test("GIF encode -> per-frame decode round-trips every frame exactly") {
+    val (w, h, n) = (24, 12, 4)
+    val frames = Multimodal.synthVideoFrames(9L, w, h, n)
+    val gif = Multimodal.encodeGif(frames, w, h)
+    // a real GIF: magic bytes
+    assert(new String(gif.take(6), "US-ASCII") === "GIF89a" ||
+      new String(gif.take(6), "US-ASCII") === "GIF87a")
+    assert(Multimodal.gifFrameCount(gif) === n)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val (back, bw, bh) = Multimodal.decodeGifFrame(gif, i)
+      assert((bw, bh) === ((w, h)), s"frame $i dims")
+      // synthImageGrid emits exact k/255 levels + explicit gray palette →
+      // the 8-bit indexed round-trip is exact
+      assert(back.toSeq === f.toSeq, s"frame $i")
+    }
+    // frames genuinely differ (phase-shifted pattern): a reader returning
+    // frame 0 for every index would fail the exactness above only if so
+    assert(frames(0).toSeq !== frames(1).toSeq)
+  }
+
+  test("GIF frame index clamps to the stored frame count") {
+    val (w, h) = (16, 8)
+    val frames = Multimodal.synthVideoFrames(2L, w, h, 3)
+    val gif = Multimodal.encodeGif(frames, w, h)
+    val (last, _, _) = Multimodal.decodeGifFrame(gif, 2)
+    val (clamped, _, _) = Multimodal.decodeGifFrame(gif, 99)
+    assert(clamped.toSeq === last.toSeq)
+  }
+
+  test("video feature = real GIF decode + real resize") {
+    val (w, h) = (24, 12)
+    val frames = Multimodal.synthVideoFrames(5L, w, h, 3)
+    val rec = MediaRecord(5L, "video", Multimodal.encodeGif(frames, w, h),
+      w, h, 3000L)
+    val feat = Multimodal.decodeFeature(rec, 2)
+    assert(feat.toSeq ===
+      Multimodal.resizeBilinear(frames(2).toArray, w, h, 4, 4).toSeq)
+  }
+
+  test("unknown modality fails loudly") {
+    val rec = MediaRecord(6L, "hologram", Array[Byte](1), 1, 1, 0L)
+    intercept[IllegalArgumentException] { Multimodal.decodeFeature(rec, 0) }
   }
 }
