@@ -1,0 +1,142 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{Bench, SparkEntry}
+import graft.data.SyntheticScale
+import graft.queries.{DedupClusterQuery, TextQueries}
+
+/**
+ * Decade-scaling measurement (VERDICT r4 next #1 and #6): run the
+ * expensive query family on a 1× (≈ sf0.1-shaped) and a 10× generated
+ * corpus ([[SyntheticScale]] — identical distribution family, one decade
+ * apart, so the t10/t1 ratio is a clean growth measurement rather than a
+ * distribution change), plus the 10⁴-node chain experiment for the two CC
+ * algorithms. Prints one result line per measurement; the committed table
+ * lives in BENCH_SCALING.md.
+ *
+ * Growth accounting printed per query: ratio = t(10×)/t(1×) and the
+ * implied exponent log₁₀(ratio) — 1.0 = linear, 2.0 = quadratic. Judged
+ * against each query's STATED complexity (e.g. the tiled Jaccard path is
+ * Ω(B²) per block BY DESIGN below the prefix cutover; both paths are
+ * measured here to validate the committed B* ≈ 7000 crossover estimate).
+ */
+object ScaleDecade {
+
+  /** The expensive family named by the verdict. */
+  private val Family = Seq(
+    "q18_ngram_jaccard",
+    "q55_ngram_jaccard_prefix",
+    "q37_dedup_clusters",
+    "q61_dedup_clusters_star",
+    "q39_ann_ivf",
+    "q66_ngram_novelty",
+    "q62_reroute_repath",
+    "q63_reroute_bb")
+
+  private def timeBest2(f: => Unit): Double = {
+    val a = Bench.time(f)._2
+    val b = Bench.time(f)._2
+    math.min(a, b)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Bench.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "target/scale10"
+    // default decade; override e.g. `runMain graft.tools.ScaleDecade 1` for
+    // a generator/query smoke at 1x only (skips the growth table)
+    val scales =
+      if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
+
+    val dirs = scales.map { s =>
+      val dir = s"$base/gen${s}x"
+      val (_, genSec) = Bench.time(SyntheticScale.writeAll(spark, dir, s))
+      println(f"[scale10] generated ${s}x under $dir in $genSec%.1f s")
+      s -> dir
+    }.toMap
+
+    // JIT/codegen warm on the small corpus, untimed
+    Family.foreach { q =>
+      SparkEntry.queries(q)(spark, dirs(1)).count()
+      spark.catalog.clearCache()
+    }
+
+    val results = collection.mutable.Map.empty[(String, Int), Double]
+    for (s <- scales; q <- Family) {
+      val sec = timeBest2 {
+        SparkEntry.queries(q)(spark, dirs(s)).count(): Unit
+      }
+      spark.catalog.clearCache()
+      results((q, s)) = sec
+      println(f"[scale10] $q @ ${s}x: $sec%.2f s")
+    }
+    // the measured-cutover claim: both explicit Jaccard paths at both
+    // scales (block size 250 -> 2500 docs across the decade)
+    for (s <- scales; (path, usePrefix) <- Seq(("tiled", false), ("prefix", true))) {
+      val sec = timeBest2 {
+        TextQueries.ngramJaccardPath(spark, dirs(s), 300000L, usePrefix)
+          .count(): Unit
+      }
+      spark.catalog.clearCache()
+      results((s"jaccard_$path", s)) = sec
+      println(f"[scale10] jaccard_$path @ ${s}x: $sec%.2f s")
+    }
+
+    if (scales == Seq(1, 10)) {
+      println("[scale10] ---- decade growth ----")
+      (Family ++ Seq("jaccard_tiled", "jaccard_prefix")).foreach { q =>
+        val t1 = results((q, 1))
+        val t10 = results((q, 10))
+        val ratio = t10 / t1
+        println(f"[scale10] $q%-26s t1=$t1%7.2f s  t10=$t10%7.2f s  " +
+          f"ratio=$ratio%6.2f  exponent=${math.log10(ratio)}%.2f")
+      }
+    }
+
+    // ---- 10^4-node chain: star vs min-label propagation (verdict #6) ----
+    import spark.implicits._
+    val chainN = 10000L
+    val half = spark.range(0L, chainN - 1).select(col("id").as("src"),
+      (col("id") + 1).as("dst"))
+    val chain = half.unionAll(half.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint()
+
+    def rounds(dir: String): Int = {
+      val f = new java.io.File(dir)
+      if (!f.exists()) 0
+      else f.listFiles().count(_.getName.startsWith("commit-"))
+    }
+
+    // timed runs carry NO checkpoint dir (pure compute, same footing for
+    // both algorithms); the star's round count comes from a separate
+    // untimed checkpointed run
+    val (starLabels, starSec) = Bench.time {
+      DedupClusterQuery.connectedComponentsStar(chain, maxRounds = 200)
+        .collect()
+    }
+    val starOk = starLabels.forall(_.getLong(1) == 0L) &&
+      starLabels.length == chainN
+    val starDir = s"$base/cc_star_chain"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(starDir))
+    DedupClusterQuery.connectedComponentsStar(chain,
+      ckptDir = Some(starDir), maxRounds = 200).collect()
+    println(f"[scale10] chain10k star: $starSec%.1f s, ${rounds(starDir)} " +
+      f"rounds, labels_ok=$starOk")
+
+    // propagation converges in O(diameter) rounds = ~10^4 here — run a
+    // bounded 25-round slice and report the measured per-round cost (the
+    // full run would be diameter * per-round, quoted not executed)
+    val propRounds = 25
+    val (_, propSec) = Bench.time {
+      DedupClusterQuery.connectedComponents(chain, maxRounds = propRounds)
+        .collect()
+    }
+    val perRound = propSec / propRounds
+    println(f"[scale10] chain10k propagation: $propSec%.1f s for " +
+      f"$propRounds rounds ($perRound%.2f s/round; full convergence needs " +
+      f"~${chainN - 1} rounds = ~${perRound * (chainN - 1) / 3600}%.1f h)")
+
+    spark.stop()
+  }
+}
