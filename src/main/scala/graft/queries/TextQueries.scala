@@ -195,19 +195,24 @@ object TextQueries {
     * ANY block size. */
   private val PrefixCutoverMicro = 200000L
 
-  /** Block-size arm of the cutover — MEASURED, round 4 (VERDICT r3 item 2;
-    * grid in BENCH_SCALING.md): under the interleaved best-of-3 bench the
-    * TILED path wins at every threshold t ∈ {0.1..0.5} at both gate scales
-    * (sf0.01: 0.4–0.5 s vs 0.9–1.0 s; sf0.1: 1.2–1.6 s vs 2.8–3.6 s even
-    * after the df>1 broadcast trim), so threshold alone never justifies the
-    * prefix path — BLOCK SIZE does. Tiled work grows as Ω(B²) per block
-    * (pair formations) while the prefix path's passes grow ~B·log B (keyed
-    * window sort) plus candidate volume in the rare-token tail; from the
-    * measured 2.8× prefix/tiled ratio at B = 2500 and the quadratic/linear
-    * growth split, the crossover lands at B* ≈ 2500·2.8 ≈ 7000 — rounded to
-    * 8192. Callers with measured knowledge can force either path via
-    * [[ngramJaccardPath]]; results are identical (JaccardJoinSpec). */
-  private val PrefixMinAvgBlockDocs = 8192L
+  /** Block-size arm of the cutover — MEASURED at both decades now
+    * (round-4 grid + round-5 `tools/ScaleDecade`, tables in
+    * BENCH_SCALING.md): under the interleaved bench the TILED path wins at
+    * every threshold t ∈ {0.1..0.5} at gate block sizes (sf0.01/sf0.1 are
+    * B = 25/250 docs per source block — sf0.1: 1.2–1.6 s vs 2.8–3.6 s), so
+    * threshold alone never justifies the prefix path — BLOCK SIZE does.
+    * Tiled work grows as Ω(B²) per block (pair formations) while the
+    * prefix path's passes grow ~B·log B plus candidate volume in the
+    * rare-token tail. Round 4 extrapolated the crossover from the B = 250
+    * point alone (and mislabeled it B = 2500, inflating the estimate to
+    * 8192); round 5's decade corpus measured B = 2500 DIRECTLY: prefix
+    * wins 21.8 s vs 33.3 s (answer size 400 pairs — algorithm work, not
+    * output). Interpolating the measured tiled/prefix ratio (0.63× at
+    * B = 250 → 1.53× at B = 2500, i.e. ratio ∝ B^0.39 on this box) puts
+    * the crossover at B* ≈ 830, rounded to 1024. Callers with measured
+    * knowledge can force either path via [[ngramJaccardPath]]; results are
+    * identical (JaccardJoinSpec). */
+  private val PrefixMinAvgBlockDocs = 1024L
 
   /** Broadcast ceiling for the prefix path's df>1 vocabulary join, in
     * ENTRIES (each a hashed-long bigram + long df; a broadcast
@@ -241,7 +246,7 @@ object TextQueries {
     *
     * Dispatch (measured round 4, see [[PrefixMinAvgBlockDocs]]): tiled
     * below t=0.2 at any size; above it, tiled for small/medium blocks and
-    * PPJoin once the average block outgrows ~8k docs (where the tiled
+    * PPJoin once the average block outgrows ~1k docs (where the tiled
     * Ω(B²) term overtakes the prefix path's fixed passes). The block-size
     * estimate is one aggregate over the (dictionary-encoded) source column
     * — the accepted scalar-action-at-plan-build pattern; at 100 TB this is
