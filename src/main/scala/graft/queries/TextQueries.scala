@@ -205,14 +205,16 @@ object TextQueries {
     * prefix path's passes grow ~B·log B plus candidate volume in the
     * rare-token tail. Round 4 extrapolated the crossover from the B = 250
     * point alone (and mislabeled it B = 2500, inflating the estimate to
-    * 8192); round 5's decade corpus measured B = 2500 DIRECTLY: prefix
-    * wins 21.8 s vs 33.3 s (answer size 400 pairs — algorithm work, not
-    * output). Interpolating the measured tiled/prefix ratio (0.63× at
-    * B = 250 → 1.53× at B = 2500, i.e. ratio ∝ B^0.39 on this box) puts
-    * the crossover at B* ≈ 830, rounded to 1024. Callers with measured
-    * knowledge can force either path via [[ngramJaccardPath]]; results are
-    * identical (JaccardJoinSpec). */
-  private val PrefixMinAvgBlockDocs = 1024L
+    * 8192); round 5's decade corpus measured B = 1000 and B = 2500
+    * DIRECTLY: prefix wins both (3.66 s vs 4.95 s at B = 1000; 21.8 s vs
+    * 33.3 s at B = 2500, answer sizes 8–400 pairs — algorithm work, not
+    * output). The three-point tiled/prefix ratio curve (0.63× at B = 250,
+    * 1.35× at B = 1000, 1.53× at B = 2500) crosses 1 at B* ≈ 580, rounded
+    * to 512 — and the penalty for misdispatch near B* is by construction
+    * ~1× (the paths tie there). Callers with measured knowledge can force
+    * either path via [[ngramJaccardPath]]; results are identical
+    * (JaccardJoinSpec). */
+  private val PrefixMinAvgBlockDocs = 512L
 
   /** Broadcast ceiling for the prefix path's df>1 vocabulary join, in
     * ENTRIES (each a hashed-long bigram + long df; a broadcast
@@ -246,7 +248,7 @@ object TextQueries {
     *
     * Dispatch (measured round 4, see [[PrefixMinAvgBlockDocs]]): tiled
     * below t=0.2 at any size; above it, tiled for small/medium blocks and
-    * PPJoin once the average block outgrows ~1k docs (where the tiled
+    * PPJoin once the average block outgrows ~500 docs (where the tiled
     * Ω(B²) term overtakes the prefix path's fixed passes). The block-size
     * estimate is one aggregate over the (dictionary-encoded) source column
     * — the accepted scalar-action-at-plan-build pattern; at 100 TB this is

@@ -56,9 +56,10 @@ object ScaleDecade {
       s -> dir
     }.toMap
 
-    // JIT/codegen warm on the small corpus, untimed
+    // JIT/codegen warm on the smallest requested corpus, untimed
+    val warmDir = dirs(scales.min)
     Family.foreach { q =>
-      SparkEntry.queries(q)(spark, dirs(1)).count()
+      SparkEntry.queries(q)(spark, warmDir).count()
       spark.catalog.clearCache()
     }
 
