@@ -147,7 +147,11 @@ object SparkEntry {
     // the explicit-schema PERMISSIVE reader, census per source; the
     // oracle re-reads THE SAME FILES with DuckDB's read_json.
     "q68_jsonl_census" -> ((s: SparkSession, d: String) =>
-      graft.data.CorpusIO.jsonlCensusGate(s, d))
+      graft.data.CorpusIO.jsonlCensusGate(s, d)),
+    // q69: ExactSubstr-style duplication-span coverage — per source, the
+    // tokens inside maximal >=8-token spans whose every 8-gram recurs in
+    // the corpus (gram census + gaps-and-islands merge; no suffix array).
+    "q69_dup_spans" -> TextQueries.dupSpanCensus _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -750,6 +754,42 @@ object SparkEntry {
     // path, the resolved map injects the actual one.
     "q68_jsonl_census" ->
       jsonlOracleSql(graft.data.CorpusIO.jsonlGatePath("/root/testdata/sf0.01")),
+
+    // q69: full value twin — positional 8-grams via the q66 range/slice
+    // idiom, gaps-and-islands span merge as window SQL, all integers. The
+    // oracle groups raw gram STRINGS where Spark groups the 128-bit hash —
+    // same counts unless xxhash64² collides (q66's argument: P < 1e-20 at
+    // 1e9 grams, and a collision only ever over-merges).
+    "q69_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |gr AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [] ELSE
+        |         list_transform(range(1, len(t) - 6),
+        |           i -> struct_pack(pos := i,
+        |                  g := array_to_string(list_slice(t, i, i + 7), ' ')))
+        |         END) AS s FROM tok),
+        |g AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM gr),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+        |dp AS (SELECT doc_id, pos, pos + 7 AS e FROM g JOIN dup USING (g)),
+        |isl AS (SELECT doc_id, pos, e,
+        |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |    THEN 1 ELSE 0 END AS ni FROM dp),
+        |isl2 AS (SELECT doc_id, pos, e,
+        |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+        |spans AS (SELECT doc_id, island, max(e) - min(pos) + 1 AS len
+        |          FROM isl2 GROUP BY doc_id, island),
+        |cov AS (SELECT doc_id, cast(sum(len) AS bigint) AS covered
+        |        FROM spans GROUP BY doc_id),
+        |perdoc AS (SELECT tok.doc_id, tok.source,
+        |  cast(len(t) AS bigint) AS n_tok, coalesce(cov.covered, 0) AS covered
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(CASE WHEN covered * 2 > n_tok THEN 1 ELSE 0 END) AS bigint)
+        |    AS heavy_docs,
+        |  cast(sum(n_tok) AS bigint) AS total_tokens,
+        |  cast(sum(covered) AS bigint) AS covered_tokens
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
 
     "q41_lsh_neardup" ->
       """WITH u AS (

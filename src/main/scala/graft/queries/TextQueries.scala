@@ -1046,6 +1046,89 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Positional word 8-gram shingles: (pos, shingle) structs, 1-based
+    * positions. Docs under 8 tokens yield an empty array. Unlike
+    * [[wordShingles8]] this keeps WHERE each gram sits — the input to
+    * span-merge semantics, where a duplicated gram at position p covers
+    * tokens [p, p+7]. */
+  private def wordShinglesPos8(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(toks) < 8,
+      array().cast("array<struct<pos:int,g:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 7),
+        i => struct(i.as("pos"), concat_ws(" ", slice(toks, i, lit(8))).as("g"))))
+
+  /** q69: exact-substring duplication-span census — the ExactSubstr
+    * memorization metric (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): per source, how many tokens sit
+    * inside a MAXIMAL duplicated span — a run of ≥8 tokens whose every
+    * 8-gram occurs more than once in the corpus (within-doc repeats
+    * count; verbatim memorization doesn't care which document the copy
+    * lives in). Complements q66: novelty counts DISTINCT grams per doc,
+    * this measures positional COVERAGE — "40% of this document is text
+    * that exists elsewhere", the number an ExactSubstr-style cut actually
+    * thresholds on. A duplicated substring of length ≥ 8 contains a
+    * duplicated 8-gram at every offset, so merging the per-position gram
+    * intervals [p, p+7] (classic gaps-and-islands) reconstructs the
+    * maximal spans exactly — no suffix array needed, which is the trick
+    * that makes the metric distributable.
+    *
+    * Scale shape: the gram census is one 24-byte-row shuffle (the q66
+    * 128-bit map-side hash discipline — the shuffle never carries the
+    * ~50-char gram strings; PlanGuardSpec pins it). The duplicated-gram
+    * set joins BACK on the 16-byte hash key with no broadcast hint:
+    * dup-gram cardinality grows with the corpus, so forcing a broadcast
+    * is the q55 failure mode — AQE sees the actual shuffle size at
+    * runtime and converts to broadcast only when the set is genuinely
+    * small. Island-merge is a per-doc window (partition = doc_id), so its
+    * sort is bounded by document length, never corpus size; every census
+    * term is integer, exact in both engines. */
+  def dupSpanCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // persisted: the positional-gram pass and the per-doc token census
+    // both read the tokenized frame (released by the gate runners'
+    // clearCache contract)
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = docs
+      .select(col("doc_id"), explode(wordShinglesPos8(col("t"))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"),
+        xxhash64(col("s.g")).as("h1"),
+        xxhash64(lit("g2"), col("s.g")).as("h2"))
+    val dupGrams = grams
+      .groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1L)
+      .select(col("h1"), col("h2"))
+    val dupPos = grams.join(dupGrams, Seq("h1", "h2"))
+      .select(col("doc_id"), col("pos"), (col("pos") + 7).as("e"))
+    val wDoc = w.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = wDoc.rowsBetween(w.unboundedPreceding, -1)
+    val coveredPerDoc = dupPos
+      .withColumn("pe", max(col("e")).over(wPrev))
+      .withColumn("ni",
+        when(col("pos") > coalesce(col("pe"), lit(-1)) + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("e")) - min(col("pos")) + 1).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("covered"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_tok"))
+      .join(coveredPerDoc, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tok"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("covered") * 2 > col("n_tok"), 1L).otherwise(0L))
+          .as("heavy_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("covered")).as("covered_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** PII regex classes, shared by the operator and its gate. Both patterns
     * stay inside the Java-regex ∩ RE2 dialect (character classes, bounded
     * repetition, `\b`) so Spark and DuckDB match identically. */

@@ -119,6 +119,16 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q69 never shuffles a gram string — only its 128-bit hash") {
+    // same scale claim as q66: positional grams are hashed map-side, so no
+    // Exchange may partition on the gram string; the census groupBy and
+    // the dup join-back both key on (h1, h2)
+    val p = plan("q69_dup_spans")
+    assert(!p.matches("(?s).*hashpartitioning\\(g#.*"), p)
+    assert(p.contains("xxhash64"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q67 is join-free: one codegen map pass + the source rollup") {
     val p = plan("q67_pii_census")
     assert(!p.contains("Join"), p)
