@@ -151,7 +151,11 @@ object SparkEntry {
     // q69: ExactSubstr-style duplication-span coverage — per source, the
     // tokens inside maximal >=8-token spans whose every 8-gram recurs in
     // the corpus (gram census + gaps-and-islands merge; no suffix array).
-    "q69_dup_spans" -> TextQueries.dupSpanCensus _
+    "q69_dup_spans" -> TextQueries.dupSpanCensus _,
+    // q70: the CUT the q69 census measures — remove every token inside a
+    // duplicated span from every occurrence, census what survives
+    // (chars_after + distinct cleaned texts pin positional identity).
+    "q70_dup_span_cut" -> TextQueries.dupSpanCut _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -789,6 +793,54 @@ object SparkEntry {
         |    AS heavy_docs,
         |  cast(sum(n_tok) AS bigint) AS total_tokens,
         |  cast(sum(covered) AS bigint) AS covered_tokens
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+
+    // q70: same span CTEs as q69, then the cut replayed relationally —
+    // positional tokens anti-filtered by NOT EXISTS over the spans,
+    // cleaned text re-agglomerated in position order. The oracle compares
+    // raw cleaned STRINGS where Spark counts distinct 128-bit hashes
+    // (q69's collision argument); empty survivors coalesce to '' on both
+    // sides so fully-cut docs count as one distinct value.
+    "q70_dup_span_cut" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |gr AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [] ELSE
+        |         list_transform(range(1, len(t) - 6),
+        |           i -> struct_pack(pos := i,
+        |                  g := array_to_string(list_slice(t, i, i + 7), ' ')))
+        |         END) AS s FROM tok),
+        |g AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM gr),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+        |dp AS (SELECT doc_id, pos, pos + 7 AS e FROM g JOIN dup USING (g)),
+        |isl AS (SELECT doc_id, pos, e,
+        |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |    THEN 1 ELSE 0 END AS ni FROM dp),
+        |isl2 AS (SELECT doc_id, pos, e,
+        |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+        |          FROM isl2 GROUP BY doc_id, island),
+        |pt AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        |         SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |           i -> struct_pack(pos := i, w := t[i]))) AS u FROM tok) q),
+        |kept AS (SELECT pt.doc_id, pt.pos, pt.w FROM pt
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |           WHERE sp.doc_id = pt.doc_id
+        |             AND pt.pos BETWEEN sp.s AND sp.e)),
+        |cl AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS cleaned,
+        |              count(*) AS n_kept FROM kept GROUP BY doc_id),
+        |sp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+        |perdoc AS (SELECT tok.doc_id, tok.source,
+        |  coalesce(cl.cleaned, '') AS cleaned,
+        |  coalesce(cl.n_kept, 0) AS n_kept,
+        |  CASE WHEN coalesce(sp.n_spans, 0) > 0 THEN 1 ELSE 0 END AS modified
+        |  FROM tok LEFT JOIN cl ON tok.doc_id = cl.doc_id
+        |           LEFT JOIN sp ON tok.doc_id = sp.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(modified) AS bigint) AS docs_modified,
+        |  cast(sum(n_kept) AS bigint) AS tokens_after,
+        |  cast(sum(length(cleaned)) AS bigint) AS chars_after,
+        |  cast(count(DISTINCT cleaned) AS bigint) AS distinct_cleaned
         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
 
     "q41_lsh_neardup" ->

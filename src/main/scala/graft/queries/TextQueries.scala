@@ -1083,7 +1083,6 @@ object TextQueries {
     * sort is bounded by document length, never corpus size; every census
     * term is integer, exact in both engines. */
   def dupSpanCensus(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
     // persisted: the positional-gram pass and the per-doc token census
     // both read the tokenized frame (released by the gate runners'
     // clearCache contract)
@@ -1091,6 +1090,35 @@ object TextQueries {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coveredPerDoc = maximalDupSpans(docs)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s") + 1).as("covered"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_tok"))
+      .join(coveredPerDoc, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tok"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("covered") * 2 > col("n_tok"), 1L).otherwise(0L))
+          .as("heavy_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("covered")).as("covered_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Maximal duplicated spans per document: (doc_id, s, e) with every
+    * 8-gram inside [s, e] recurring somewhere in the corpus, merged via
+    * gaps-and-islands over the per-position intervals [p, p+7]. Shared
+    * kernel of the q69 census and the q70 cut. `docs` must carry
+    * (doc_id, t: array<string>). The gram census shuffles only the
+    * 128-bit gram hash (never the string — PlanGuardSpec pins it); the
+    * dup join-back carries no broadcast hint (dup-gram cardinality grows
+    * with the corpus; AQE decides at runtime); the island merge is a
+    * per-doc window whose sort is bounded by document length. */
+  private def maximalDupSpans(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val grams = docs
       .select(col("doc_id"), explode(wordShinglesPos8(col("t"))).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"),
@@ -1105,27 +1133,66 @@ object TextQueries {
       .select(col("doc_id"), col("pos"), (col("pos") + 7).as("e"))
     val wDoc = w.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wPrev = wDoc.rowsBetween(w.unboundedPreceding, -1)
-    val coveredPerDoc = dupPos
+    dupPos
       .withColumn("pe", max(col("e")).over(wPrev))
       .withColumn("ni",
         when(col("pos") > coalesce(col("pe"), lit(-1)) + 1, 1L).otherwise(0L))
       .withColumn("island", sum(col("ni")).over(wDoc))
       .groupBy(col("doc_id"), col("island"))
-      .agg((max(col("e")) - min(col("pos")) + 1).as("len"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  /** q70: exact-substring duplication CUT — the transform the q69 census
+    * measures. Removes from every document every token inside a maximal
+    * duplicated span (q69 semantics: runs of ≥8 tokens whose every 8-gram
+    * recurs corpus-wide), then emits a per-source census of what survives.
+    * Policy: ALL occurrences are cut, including the "original" — the
+    * deterministic, owner-free choice (a keep-one policy needs a global
+    * owner per span; q66's min(doc_id) idiom would supply one, documented
+    * here as the variant, not implemented). Cutting can splice new 8-gram
+    * junctions together; like suffix-array ExactSubstr pipelines this is
+    * a single-pass cut, not a fixpoint.
+    *
+    * The census pins POSITIONAL identity, not just counts: `chars_after`
+    * (sum of cleaned-text lengths) differs if the wrong tokens were kept
+    * even when token counts agree, and `distinct_cleaned` counts the
+    * surviving distinct texts (Spark groups a 128-bit xxhash of the
+    * cleaned text; the oracle counts raw strings — the q69 collision
+    * argument). The cut itself is join-free past the span frame: spans
+    * collect to a per-doc array (disjoint and ≥8 tokens each, so
+    * |spans| ≤ n_tok/8 — the collect_list row stays bounded by the
+    * document itself), and token filtering is a codegen-free but
+    * shuffle-free HOF pass: filter-with-index × exists over the span
+    * array, O(n_tok · |spans|) per doc worst case, O(n_tok) when clean —
+    * per-document work, embarrassingly parallel at any corpus size. */
+  def dupSpanCut(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spanArr = maximalDupSpans(docs)
       .groupBy(col("doc_id"))
-      .agg(sum(col("len")).as("covered"))
-    docs
-      .select(col("doc_id"), col("source"),
-        size(col("t")).cast("long").as("n_tok"))
-      .join(coveredPerDoc, Seq("doc_id"), "left")
-      .select(col("source"), col("n_tok"),
-        coalesce(col("covered"), lit(0L)).as("covered"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs.join(spanArr, Seq("doc_id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(col("t"), (tok, i) =>
+        !exists(col("spans"), sp =>
+          sp.getField("s") <= i + 1 && sp.getField("e") >= i + 1)))
+      .withColumn("cleaned", array_join(col("kept"), " "))
+      .select(col("source"),
+        (size(col("spans")) > 0).as("modified"),
+        size(col("kept")).cast("long").as("kept_tok"),
+        length(col("cleaned")).cast("long").as("kept_chars"),
+        xxhash64(col("cleaned")).as("ch1"),
+        xxhash64(lit("c2"), col("cleaned")).as("ch2"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("covered") * 2 > col("n_tok"), 1L).otherwise(0L))
-          .as("heavy_docs"),
-        sum(col("n_tok")).as("total_tokens"),
-        sum(col("covered")).as("covered_tokens"))
+        sum(when(col("modified"), 1L).otherwise(0L)).as("docs_modified"),
+        sum(col("kept_tok")).as("tokens_after"),
+        sum(col("kept_chars")).as("chars_after"),
+        countDistinct(col("ch1"), col("ch2")).as("distinct_cleaned"))
       .orderBy(col("source"))
   }
 

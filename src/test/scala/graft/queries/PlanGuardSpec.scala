@@ -129,6 +129,17 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q70 shuffles only hashes and doc ids — never a gram string") {
+    // the cut inherits q69's span kernel (hashed gram shuffle) and adds
+    // one doc_id-keyed span join; no Exchange may partition on the gram
+    // string, and the token filtering must be HOF (no per-token Generate
+    // beyond the single gram explode)
+    val p = plan("q70_dup_span_cut")
+    assert(!p.matches("(?s).*hashpartitioning\\(g#.*"), p)
+    assert(p.contains("xxhash64"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q67 is join-free: one codegen map pass + the source rollup") {
     val p = plan("q67_pii_census")
     assert(!p.contains("Join"), p)
