@@ -155,7 +155,12 @@ object SparkEntry {
     // q70: the CUT the q69 census measures — remove every token inside a
     // duplicated span from every occurrence, census what survives
     // (chars_after + distinct cleaned texts pin positional identity).
-    "q70_dup_span_cut" -> TextQueries.dupSpanCut _
+    "q70_dup_span_cut" -> TextQueries.dupSpanCut _,
+    // q71: concat-and-chunk packing census (GPT-style: docs straddle
+    // fixed 512-token sequences) — global cumsum via two-phase prefix
+    // sum, never a corpus-wide single-partition window.
+    "q71_chunk_pack" -> ((s: SparkSession, d: String) =>
+      TextQueries.chunkPackCensus(s, d))
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -842,6 +847,28 @@ object SparkEntry {
         |  cast(sum(length(cleaned)) AS bigint) AS chars_after,
         |  cast(count(DISTINCT cleaned) AS bigint) AS distinct_cleaned
         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+
+    // q71: the oracle's cumsum is the single global window Spark must NOT
+    // use — DuckDB runs one-node anyway, so the simple form IS its best
+    // plan, while the Spark side two-phases it (same values, tested by
+    // ChunkPackSpec's cross-bucket fixture). Floor arithmetic on both
+    // sides (cast-vs-floor rounding divergence discipline).
+    "q71_chunk_pack" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |               len(string_split(text, ' ')) AS n_tok
+        |             FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, source, n_tok,
+        |  sum(n_tok) OVER (ORDER BY doc_id) AS cum_end FROM tok),
+        |d AS (SELECT source, n_tok,
+        |  cast(floor((cum_end - n_tok) / 512.0) AS bigint) AS first_seq,
+        |  cast(floor((cum_end - 1) / 512.0) AS bigint) AS last_seq FROM c)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(n_tok) AS bigint) AS tokens,
+        |  cast(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+        |    AS bigint) AS straddling_docs,
+        |  cast(sum(last_seq - first_seq + 1) AS bigint) AS doc_seq_spans,
+        |  cast(max(last_seq) + 1 AS bigint) AS max_seq
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q41_lsh_neardup" ->
       """WITH u AS (

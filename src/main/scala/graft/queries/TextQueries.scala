@@ -1196,6 +1196,71 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** q71 sequence length: tokens per training sequence (the context
+    * window the concat-and-chunk packer fills). */
+  private[queries] val ChunkSeqTokens = 512L
+
+  /** q71 cumsum bucket: docs per two-phase-prefix-sum bucket. */
+  private[queries] val CumsumBucketDocs = 4096L
+
+  /** q71: concat-and-chunk packing census — the OTHER pretraining packer
+    * (q48 is first-fit with whole documents; this is the GPT-style mode:
+    * concatenate every document in deterministic doc_id order into one
+    * token stream, slice it into fixed `seqTokens` sequences, and let
+    * documents straddle sequence boundaries — zero padding waste, at the
+    * cost of split documents). Census per source: how many of its docs
+    * straddle a boundary and how many sequences each doc touches — the
+    * numbers that decide attention-masking strategy and whether boundary
+    * loss matters for a corpus.
+    *
+    * The kernel is a GLOBAL cumulative sum, done scale-correctly: a naive
+    * `sum().over(Window.orderBy(doc_id))` funnels the entire corpus
+    * through ONE task (the global-sort single-partition window — the
+    * scale-killer q57/q58 exist to avoid). Instead, the classic two-phase
+    * prefix sum in the salted-window discipline: (1) per-bucket token
+    * subtotals (`bucket = doc_id div 4096` — one row per 4096 docs), (2)
+    * running offset across buckets in a window whose single partition
+    * holds only the bucket frame (corpus/4096 rows — ~250k rows at 10⁹
+    * docs, driver-trivial by construction), broadcast back, (3) within-
+    * bucket running sum in a window PARTITIONED by bucket (≤4096 rows per
+    * key). Every downstream term is integer floor arithmetic, exact in
+    * both engines; doubles appear only inside floor() on values < 2⁵³. */
+  def chunkPackCensus(spark: SparkSession, sfDir: String,
+      seqTokens: Long = ChunkSeqTokens,
+      bucketDocs: Long = CumsumBucketDocs): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        floor(col("doc_id") / lit(bucketDocs)).as("bucket"))
+    val bucketOffsets = docs
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("btot"))
+      .withColumn("boff", coalesce(
+        sum(col("btot")).over(
+          w.orderBy(col("bucket")).rowsBetween(w.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("boff"))
+    docs
+      .join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("cum_end", col("boff") +
+        sum(col("n_tok")).over(
+          w.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+      .withColumn("first_seq",
+        floor((col("cum_end") - col("n_tok")) / lit(seqTokens)))
+      .withColumn("last_seq",
+        floor((col("cum_end") - 1) / lit(seqTokens)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens"),
+        sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+          .as("straddling_docs"),
+        sum(col("last_seq") - col("first_seq") + 1).as("doc_seq_spans"),
+        (max(col("last_seq")) + 1).as("max_seq"))
+      .orderBy(col("source"))
+  }
+
   /** PII regex classes, shared by the operator and its gate. Both patterns
     * stay inside the Java-regex ∩ RE2 dialect (character classes, bounded
     * repetition, `\b`) so Spark and DuckDB match identically. */

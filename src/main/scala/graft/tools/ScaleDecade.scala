@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.{Bench, SparkEntry}
 import graft.data.SyntheticScale
@@ -22,20 +23,39 @@ import graft.queries.{DedupClusterQuery, TextQueries}
  */
 object ScaleDecade {
 
-  /** The expensive family named by the verdict. */
-  private val Family = Seq(
-    "q18_ngram_jaccard",
-    "q55_ngram_jaccard_prefix",
-    "q37_dedup_clusters",
-    "q61_dedup_clusters_star",
-    "q39_ann_ivf",
-    "q66_ngram_novelty",
-    "q62_reroute_repath",
-    "q63_reroute_bb")
+  /** The expensive family named by the verdict, plus the round-5 span
+    * pair. Subset with SPARK_GRAFT_DECADE_QUERIES (comma-separated) to
+    * measure new members without re-running the committed rows. */
+  private val Family: Seq[String] = {
+    val all = Seq(
+      "q18_ngram_jaccard",
+      "q55_ngram_jaccard_prefix",
+      "q37_dedup_clusters",
+      "q61_dedup_clusters_star",
+      "q39_ann_ivf",
+      "q66_ngram_novelty",
+      "q62_reroute_repath",
+      "q63_reroute_bb",
+      "q69_dup_spans",
+      "q70_dup_span_cut")
+    sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
+      case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
+      case None => all
+    }
+  }
 
-  private def timeBest2(f: => Unit): Double = {
+  /** Best-of-2 with the GATE's teardown rule: clearCache between samples
+    * (outside the timed region), so every sample pays its own internal
+    * persists. Without the teardown, sample 2 of any query that persists
+    * its scan reuses sample 1's cache and min-of-2 reports only the
+    * post-cache compute — at 1000× the q69 span census read 1.02 s warm
+    * vs 112 s cold, a 110× lie. Matches Bench.runOnce / the gate runner. */
+  private def timeBest2(spark: SparkSession)(f: => Unit): Double = {
     val a = Bench.time(f)._2
+    spark.catalog.clearCache()
     val b = Bench.time(f)._2
+    spark.catalog.clearCache()
+    println(f"[scale10]   samples: $a%.2f s, $b%.2f s")
     math.min(a, b)
   }
 
@@ -65,17 +85,21 @@ object ScaleDecade {
 
     val results = collection.mutable.Map.empty[(String, Int), Double]
     for (s <- scales; q <- Family) {
-      val sec = timeBest2 {
+      val sec = timeBest2(spark) {
         SparkEntry.queries(q)(spark, dirs(s)).count(): Unit
       }
       spark.catalog.clearCache()
       results((q, s)) = sec
       println(f"[scale10] $q @ ${s}x: $sec%.2f s")
     }
+    // subset runs (env-filtered Family) measure only the named queries:
+    // the cutover grid and the chain experiment are committed rows
+    val subsetRun = sys.env.contains("SPARK_GRAFT_DECADE_QUERIES")
     // the measured-cutover claim: both explicit Jaccard paths at both
     // scales (block size 250 -> 2500 docs across the decade)
-    for (s <- scales; (path, usePrefix) <- Seq(("tiled", false), ("prefix", true))) {
-      val sec = timeBest2 {
+    for (s <- scales if !subsetRun;
+         (path, usePrefix) <- Seq(("tiled", false), ("prefix", true))) {
+      val sec = timeBest2(spark) {
         TextQueries.ngramJaccardPath(spark, dirs(s), 300000L, usePrefix)
           .count(): Unit
       }
@@ -86,7 +110,8 @@ object ScaleDecade {
 
     if (scales == Seq(1, 10)) {
       println("[scale10] ---- decade growth ----")
-      (Family ++ Seq("jaccard_tiled", "jaccard_prefix")).foreach { q =>
+      (Family ++ (if (subsetRun) Nil
+                  else Seq("jaccard_tiled", "jaccard_prefix"))).foreach { q =>
         val t1 = results((q, 1))
         val t10 = results((q, 10))
         val ratio = t10 / t1
@@ -96,6 +121,7 @@ object ScaleDecade {
     }
 
     // ---- 10^4-node chain: star vs min-label propagation (verdict #6) ----
+    if (subsetRun) { spark.stop(); return }
     import spark.implicits._
     val chainN = 10000L
     val half = spark.range(0L, chainN - 1).select(col("id").as("src"),

@@ -140,6 +140,18 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q71 cumsum never windows the corpus in one task — only the bucket frame") {
+    // the per-doc running sum must be a window PARTITIONED by bucket (the
+    // two-phase prefix sum); the only unpartitioned window may be the one
+    // over bucket subtotals. A naive global cumsum would show a doc-level
+    // window with an empty partition spec — pin the bucket partitioning
+    // and the broadcast of the offset frame instead.
+    val p = plan("q71_chunk_pack")
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q67 is join-free: one codegen map pass + the source rollup") {
     val p = plan("q67_pii_census")
     assert(!p.contains("Join"), p)
