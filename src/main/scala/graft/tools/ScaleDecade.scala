@@ -19,7 +19,8 @@ import graft.queries.{DedupClusterQuery, TextQueries}
  * implied exponent log₁₀(ratio) — 1.0 = linear, 2.0 = quadratic. Judged
  * against each query's STATED complexity (e.g. the tiled Jaccard path is
  * Ω(B²) per block BY DESIGN below the prefix cutover; both paths are
- * measured here to validate the committed B* ≈ 7000 crossover estimate).
+ * measured here — the three-point grid pinned the crossover at B* ≈ 580,
+ * committed as PrefixMinAvgBlockDocs = 512).
  */
 object ScaleDecade {
 
@@ -49,7 +50,10 @@ object ScaleDecade {
     * persists. Without the teardown, sample 2 of any query that persists
     * its scan reuses sample 1's cache and min-of-2 reports only the
     * post-cache compute — at 1000× the q69 span census read 1.02 s warm
-    * vs 112 s cold, a 110× lie. Matches Bench.runOnce / the gate runner. */
+    * vs 112 s cold, a 110× lie. Matches Bench.runOnce / the gate runner.
+    * Used by the cutover-grid block; the Family block interleaves instead
+    * (see main) because back-to-back samples of one cell both land inside
+    * the same VM load burst. */
   private def timeBest2(spark: SparkSession)(f: => Unit): Double = {
     val a = Bench.time(f)._2
     spark.catalog.clearCache()
@@ -76,21 +80,24 @@ object ScaleDecade {
       s -> dir
     }.toMap
 
-    // JIT/codegen warm on the smallest requested corpus, untimed
-    val warmDir = dirs(scales.min)
-    Family.foreach { q =>
-      SparkEntry.queries(q)(spark, warmDir).count()
-      spark.catalog.clearCache()
-    }
-
+    // Every (query, scale) cell measured via the gate's interleaved
+    // discipline (one untimed warm of every cell, then cycles that touch
+    // each cell once, min per cell, clearCache teardown after every
+    // sample): this VM's load bursts last minutes, so two back-to-back
+    // samples of one cell can BOTH land inside a burst — interleaving
+    // spreads a cell's samples across the whole window instead.
+    val cycles = sys.env.getOrElse("SPARK_GRAFT_DECADE_CYCLES", "3").toInt
+    val cells: Seq[(String, () => Unit)] = for (s <- scales; q <- Family)
+      yield s"$q@${s}" -> (() => {
+        SparkEntry.queries(q)(spark, dirs(s)).count(): Unit
+      })
+    val interleaved = Bench.timeAllInterleaved(cells, cycles = cycles,
+      teardown = () => spark.catalog.clearCache())
     val results = collection.mutable.Map.empty[(String, Int), Double]
     for (s <- scales; q <- Family) {
-      val sec = timeBest2(spark) {
-        SparkEntry.queries(q)(spark, dirs(s)).count(): Unit
-      }
-      spark.catalog.clearCache()
+      val sec = interleaved(s"$q@${s}")
       results((q, s)) = sec
-      println(f"[scale10] $q @ ${s}x: $sec%.2f s")
+      println(f"[scale10] $q @ ${s}x: $sec%.2f s (min of $cycles interleaved)")
     }
     // subset runs (env-filtered Family) measure only the named queries:
     // the cutover grid and the chain experiment are committed rows
