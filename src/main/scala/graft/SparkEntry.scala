@@ -160,7 +160,10 @@ object SparkEntry {
     // fixed 512-token sequences) — global cumsum via two-phase prefix
     // sum, never a corpus-wide single-partition window.
     "q71_chunk_pack" -> ((s: SparkSession, d: String) =>
-      TextQueries.chunkPackCensus(s, d))
+      TextQueries.chunkPackCensus(s, d)),
+    // q72: SemDeDup — cluster-assign embeddings to fixed seed centroids,
+    // prune cosine-duplicates within clusters only (n·(n/K) pair work).
+    "q72_semantic_dedup" -> AnnQueries.semanticDedup _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -869,6 +872,52 @@ object SparkEntry {
         |  cast(sum(last_seq - first_seq + 1) AS bigint) AS doc_seq_spans,
         |  cast(max(last_seq) + 1 AS bigint) AS max_seq
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // q72: full value twin of the SemDeDup census — same planted-dup input
+    // as q41, same fixed seed centroids (every 64th ORIGINAL vector), and
+    // the assignment argmax runs on FLOORED micro-cosines in both engines
+    // so a sub-micro libm divergence cannot flip a cluster.
+    "q72_semantic_dedup" ->
+      """WITH u AS (
+        |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> cast(embedding[i] AS double) *
+        |        (CASE WHEN (i % 2) = 1 THEN cast(0.9 AS double)
+        |              ELSE cast(1.1 AS double) END))
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (
+        |  SELECT cast(vec_id / 64 AS bigint) AS cid,
+        |    list_transform(embedding, x -> cast(x AS double)) AS cvec
+        |  FROM embeddings WHERE vec_id % 64 = 0),
+        |sims AS (
+        |  SELECT u.vec_id, c.cid,
+        |    cast(floor(
+        |      list_sum(list_transform(range(1, len(u.v) + 1), i -> u.v[i] * c.cvec[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, len(u.v) + 1), i -> u.v[i] * u.v[i])))
+        |        * sqrt(list_sum(list_transform(range(1, len(c.cvec) + 1), i -> c.cvec[i] * c.cvec[i]))))
+        |      * 1000000.0) AS bigint) AS csim
+        |  FROM u, c),
+        |assigned AS (
+        |  SELECT vec_id, cid, csim FROM sims
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) = 1),
+        |dup AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN u ua ON ua.vec_id = a.vec_id
+        |  JOIN u ub ON ub.vec_id = b.vec_id
+        |  WHERE cast(floor(
+        |      list_sum(list_transform(range(1, len(ua.v) + 1), i -> ua.v[i] * ub.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, len(ua.v) + 1), i -> ua.v[i] * ua.v[i])))
+        |        * sqrt(list_sum(list_transform(range(1, len(ub.v) + 1), i -> ub.v[i] * ub.v[i]))))
+        |      * 1000000.0) AS bigint) >= 900000)
+        |SELECT a.cid, count(*) AS n_vectors,
+        |  cast(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_dups,
+        |  cast(sum(a.csim) AS bigint) AS sum_centroid_sim_micro
+        |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+        |GROUP BY a.cid ORDER BY a.cid""".stripMargin,
 
     "q41_lsh_neardup" ->
       """WITH u AS (

@@ -177,6 +177,12 @@ object AnnQueries {
   /** Planted-duplicate id offset in [[lshNearDupPairs]]. */
   private val DupIdOffset = 10000000L
 
+  /** q72 knobs: seed-centroid stride (K = n_embeddings / 64 clusters) and
+    * the duplicate threshold in floored micro-cosine (0.9, the q41 regime:
+    * planted dups sit at ≈0.995, the background pair max at ≈0.45). */
+  private val SemDedupEvery = 64L
+  private val SemDedupSimMicro = 900000L
+
   /** The q41 input: embeddings (cast double) unioned with deterministic
     * near-duplicates — every 20th vector re-scaled ±10% on alternating dims
     * (cosine to its original ≈ 0.995, far above the ≈0.45 background max).
@@ -466,5 +472,82 @@ object AnnQueries {
       .select(col("query_id"),
         when(coalesce(col("hits"), lit(0L)) >= 3L, 1L).otherwise(0L).as("recall_ok"))
       .orderBy(col("query_id"))
+  }
+
+  /** q72: SemDeDup-style semantic deduplication census (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into K clusters and
+    * prune cosine-duplicates WITHIN clusters only, so the global Ω(n²)
+    * pair search becomes Σ_c B_c² ≈ n·(n/K) — the paper's regime picks K
+    * so the expected cluster size n/K stays bounded (K ~ 50k at 10⁸ docs),
+    * which keeps the per-cluster self-join constant-cost per row and the
+    * broadcastable centroid table at K·dim·8 B. The gate fixes the seed
+    * stride (every 64th vector, no Lloyd refinement) precisely so the whole
+    * operator — assignment included — is expressible 1:1 in the DuckDB
+    * oracle; q39's IVF covers the Lloyd-refined centroid path.
+    *
+    * Cross-engine determinism: the argmax assignment compares FLOORED
+    * micro-cosines (ties → lowest cid), never raw doubles, so a sub-micro
+    * libm divergence cannot flip a cluster assignment (the q24/q65
+    * discipline). Input is the q41 planted-dup corpus, so true duplicates
+    * (cos ≈ 0.995) exist in-gate; a planted pair split across clusters
+    * would be MISSED by construction — that is SemDeDup's actual
+    * cluster-pruning tradeoff and the oracle mirrors it exactly.
+    *
+    * Divergence from the paper: within a duplicate group we keep the
+    * lowest vec_id rather than the exemplar farthest from the centroid —
+    * id-based keep is deterministic under any cluster-internal ordering
+    * and costs one `<` instead of a second argmax pass.
+    *
+    * Output census per cluster: size, duplicates flagged, and the summed
+    * floored centroid-similarity (an integer-exact assignment fingerprint —
+    * bigint addition is order-free, so no cross-engine float-sum risk). */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = withPlantedDups(spark, sfDir)
+    val centroids = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % SemDedupEvery === 0)
+      .select((col("vec_id") / SemDedupEvery).cast("long").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    semanticDedupOn(u, centroids, SemDedupSimMicro)
+  }
+
+  /** Core of [[semanticDedup]] over caller-shaped frames: `u(vec_id, v)`
+    * with double vectors, `centroids(cid, cvec)`. Split out so specs can
+    * drive controlled cluster geometries (exact dup co-clustered vs a
+    * near-dup pair split across clusters). */
+  def semanticDedupOn(u: DataFrame, centroids: DataFrame,
+      simMicro: Long): DataFrame = {
+    // one pass over u × broadcast centroids; partial-aggregating argmax
+    // (max over struct(csim, -cid)) — no window sort, map-side combinable
+    val assigned = u.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"),
+        struct(
+          floor(cosine(col("v"), col("cvec")) * 1000000.0).cast("long")
+            .as("csim"),
+          (lit(0L) - col("cid")).as("ncid")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("s")).as("s"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), (lit(0L) - col("s.ncid")).as("cid"),
+        col("s.csim").as("centroid_sim_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // within-cluster duplicate flags: id_b is a duplicate if some lower-id
+    // cluster-mate matches at >= the threshold. Shuffles on cid — cluster
+    // sizes are n/K by the uniform seed stride; a skewed production corpus
+    // would raise K (the paper's own lever) before this join needs tiling.
+    val dupIds = assigned
+      .select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(assigned.select(col("cid"), col("vec_id").as("id_b"),
+        col("v").as("vb")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(floor(cosine(col("va"), col("vb")) * 1000000.0).cast("long")
+        >= simMicro)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assigned
+      .join(dupIds.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dups"),
+        sum(col("centroid_sim_micro")).as("sum_centroid_sim_micro"))
+      .orderBy(col("cid"))
   }
 }
