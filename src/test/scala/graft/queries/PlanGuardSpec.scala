@@ -152,6 +152,21 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q72 assignment broadcasts centroids and aggregates the argmax — no window sort") {
+    val p = plan("q72_semantic_dedup")
+    // the n×K assignment is the intended broadcast nested-loop over the
+    // K-row centroid table, never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // argmax = partial-aggregating max(struct), NOT row_number over a
+    // per-vector window (a window sort would shuffle n full vectors twice)
+    assert(!p.contains("Window"), p)
+    // the within-cluster pair prune is an equi-join on cid
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on cid:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q67 is join-free: one codegen map pass + the source rollup") {
     val p = plan("q67_pii_census")
     assert(!p.contains("Join"), p)
