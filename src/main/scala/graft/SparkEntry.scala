@@ -163,7 +163,12 @@ object SparkEntry {
       TextQueries.chunkPackCensus(s, d)),
     // q72: SemDeDup — cluster-assign embeddings to fixed seed centroids,
     // prune cosine-duplicates within clusters only (n·(n/K) pair work).
-    "q72_semantic_dedup" -> AnnQueries.semanticDedup _
+    "q72_semantic_dedup" -> AnnQueries.semanticDedup _,
+    // q73: cross-source trigram-shingle Jaccard matrix — one linear
+    // distinct(source, hash128) shuffle + a source-bounded-fanout
+    // self-join; the mixture-weight redundancy census.
+    "q73_source_overlap" -> ((s: SparkSession, d: String) =>
+      TextQueries.sourceOverlap(s, d))
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -918,6 +923,35 @@ object SparkEntry {
         |  cast(sum(a.csim) AS bigint) AS sum_centroid_sim_micro
         |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
         |GROUP BY a.cid ORDER BY a.cid""".stripMargin,
+
+    // q73: the oracle shingles on raw trigram strings where the operator
+    // shuffles their 128-bit hashes — identical censuses unless two
+    // distinct trigrams collide in 128 bits (the documented q66 regime).
+    // Integer `//` division mirrors Spark's `div` (non-negative operands).
+    "q73_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT DISTINCT source, g
+        |  FROM toks, UNNEST(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)),
+        |sizes AS (
+        |  SELECT source, cast(count(*) AS bigint) AS n FROM sh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    cast(count(*) AS bigint) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.i, 0) AS inter_shingles,
+        |  sa.n + sb.n - coalesce(i.i, 0) AS union_shingles,
+        |  cast((coalesce(i.i, 0) * 1000000) //
+        |    (sa.n + sb.n - coalesce(i.i, 0)) AS bigint) AS jaccard_micro
+        |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        |LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "q41_lsh_neardup" ->
       """WITH u AS (

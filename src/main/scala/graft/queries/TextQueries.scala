@@ -1334,4 +1334,63 @@ object TextQueries {
             .cast("long")).as("residual_matches"))
       .orderBy(col("source"))
   }
+
+  /** Word 3-gram shingles as a column HOF — the q16 minhash unit
+    * ([[TextAnalysis.shingles]] with n=3), expressed in-plan so q73 can
+    * shingle without leaving codegen. Docs under 3 tokens yield an empty
+    * array (DuckDB's `range(1, len-1)` is end-exclusive and empties the
+    * same way). */
+  private def wordShingles3(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+
+  /** q73: cross-source n-gram overlap matrix — pairwise source-level
+    * Jaccard over distinct word-trigram shingles. q59 screens a corpus
+    * against a held-out benchmark; THIS measures the corpus against
+    * itself: which source pairs carry the same templated/boilerplate
+    * text, the number a curation run reads before setting per-source
+    * mixture weights (a pair at jaccard 0.4 is one crawl mirrored twice,
+    * not two independent sources).
+    *
+    * Scale shape: one linear `distinct(source, shingle-hash)` shuffle
+    * (the 128-bit q66 hash discipline — the shuffle never carries gram
+    * strings), then a self-equi-join on the hash whose per-key fan-out is
+    * bounded by the SOURCE count (each hash appears at most once per
+    * source after the distinct), collapsed immediately by a partial agg
+    * into at most S·(S−1)/2 pair rows. S is a catalog-scale constant
+    * (tens-hundreds), so the join output is ≤ S× the distinct frame and
+    * the agg state is tiny regardless of corpus size. The S²-row pair
+    * scaffold and size table stay broadcast. All arithmetic is integral
+    * (`div`, not float divide) — exact in both engines. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    // persisted: three consumers (size census + both self-join sides);
+    // released by the gate runners' clearCache contract
+    val srcSh = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(array_distinct(wordShingles3(split(col("text"), " ")))).as("g"))
+      .select(col("source"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit("g2"), col("g")).as("h2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = srcSh.select(col("source").as("source_a"), col("h1"), col("h2"))
+      .join(srcSh.select(col("source").as("source_b"), col("h1"), col("h2")),
+        Seq("h1", "h2"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("i"))
+    sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("i"), lit(0L)).as("inter_shingles"))
+      .withColumn("union_shingles",
+        col("n_a") + col("n_b") - col("inter_shingles"))
+      .withColumn("jaccard_micro",
+        expr("inter_shingles * 1000000 div union_shingles"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }
