@@ -167,6 +167,18 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q73 shuffles only hashed shingles; the pair scaffold stays broadcast") {
+    val p = plan("q73_source_overlap")
+    // the q66/q69 string-shuffle discipline: no Exchange may partition on
+    // the gram string `g` — only on its two xxhash64 halves / the sources
+    for (line <- p.linesIterator if line.contains("Exchange"))
+      assert(!line.contains("g#"), s"gram string reached a shuffle:\n$line")
+    // the S^2 source-pair scaffold joins by broadcast, never by shuffle
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q67 is join-free: one codegen map pass + the source rollup") {
     val p = plan("q67_pii_census")
     assert(!p.contains("Join"), p)
