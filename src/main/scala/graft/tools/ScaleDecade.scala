@@ -38,7 +38,9 @@ object ScaleDecade {
       "q62_reroute_repath",
       "q63_reroute_bb",
       "q69_dup_spans",
-      "q70_dup_span_cut")
+      "q70_dup_span_cut",
+      "q72_semantic_dedup",
+      "q73_source_overlap")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all
