@@ -168,7 +168,11 @@ object SparkEntry {
     // distinct(source, hash128) shuffle + a source-bounded-fanout
     // self-join; the mixture-weight redundancy census.
     "q73_source_overlap" -> ((s: SparkSession, d: String) =>
-      TextQueries.sourceOverlap(s, d))
+      TextQueries.sourceOverlap(s, d)),
+    // q74: DSIR importance selection — hashed-bigram log-likelihood ratio
+    // vs a target domain; one <=4093-group shuffle + one map-pass scoring.
+    "q74_dsir_select" -> ((s: SparkSession, d: String) =>
+      TextQueries.dsirSelect(s, d))
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -953,6 +957,45 @@ object SparkEntry {
         |LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
 
+    // q74 standalone form: computes the micro-nat terms with SQL ln() —
+    // carries the cross-engine libm dependence the q65 advice removed, so
+    // the gate runs the RESOLVED variant (oracleSqlResolved) with the
+    // terms injected as (count -> term) literals; this entry stays valid
+    // ANSI SQL on its own. The bucket hash is re-derived char-by-char.
+    "q74_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |    AND len(string_split(text, ' ')) >= 2),
+        |bk AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(0,
+        |      list_transform(string_split(g, ''), c -> unicode(c))),
+        |      (acc, x) -> (acc * 131 + x) % 4093) AS b
+        |  FROM toks, UNNEST(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS u(g)),
+        |cnt AS (
+        |  SELECT b, cast(count(*) AS bigint) AS cb,
+        |    cast(count(CASE WHEN source = 'src0' THEN 1 END) AS bigint) AS ct
+        |  FROM bk GROUP BY b),
+        |tot AS (SELECT sum(cb) AS nb, sum(ct) AS nt FROM cnt),
+        |w AS (
+        |  SELECT b,
+        |    cast(floor(ln((ct + 1.0) / (nt + 4093.0)) * 1000000) AS bigint)
+        |    - cast(floor(ln((cb + 1.0) / (nb + 4093.0)) * 1000000) AS bigint) AS w
+        |  FROM cnt, tot),
+        |scored AS (
+        |  SELECT bk.doc_id, any_value(bk.source) AS source,
+        |    cast(sum(w.w) AS bigint) AS score_micro
+        |  FROM bk JOIN w USING (b) GROUP BY bk.doc_id),
+        |m AS (SELECT cast(floor(cast(sum(score_micro) AS double) / count(*))
+        |    AS bigint) AS mean_micro FROM scored)
+        |SELECT source, cast(count(*) AS bigint) AS n_docs,
+        |  cast(count(CASE WHEN score_micro > (SELECT mean_micro FROM m)
+        |    THEN 1 END) AS bigint) AS selected_docs,
+        |  cast(sum(score_micro) AS bigint) AS total_score_micro
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
     "q41_lsh_neardup" ->
       """WITH u AS (
         |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
@@ -1292,9 +1335,57 @@ object SparkEntry {
     * [[oracleSql]] — every entry of which stays standalone-valid ANSI SQL —
     * refined with the data-dependent literal injections that remove
     * cross-engine fragility (q65: the libm floor-boundary dependence). */
+  /** q74 oracle with the micro-nat terms INJECTED (the q65 contract): the
+    * oracle still re-derives every bucket count, both totals implicitly,
+    * the per-doc scoring and the census itself — only the two
+    * (count → term) transcendental lookups arrive as literals, joined on
+    * the oracle's OWN counts, so a wrong Spark-side count still breaks
+    * the join and fails the gate. */
+  private def dsirOracleResolved(spark: SparkSession, sfDir: String): String = {
+    val (tgt, pool) = TextQueries.dsirTermLookup(spark, sfDir)
+    if (pool.isEmpty) return oracleSql("q74_dsir_select") // degenerate corpus
+    def values(l: Seq[(Long, Long)]) = l
+      .map { case (c, t) => s"(cast($c AS bigint), cast($t AS bigint))" }
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t
+       |  FROM documents WHERE text IS NOT NULL
+       |    AND len(string_split(text, ' ')) >= 2),
+       |bk AS (
+       |  SELECT doc_id, source,
+       |    list_reduce(list_prepend(0,
+       |      list_transform(string_split(g, ''), c -> unicode(c))),
+       |      (acc, x) -> (acc * 131 + x) % 4093) AS b
+       |  FROM toks, UNNEST(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS u(g)),
+       |cnt AS (
+       |  SELECT b, cast(count(*) AS bigint) AS cb,
+       |    cast(count(CASE WHEN source = '${TextQueries.DsirTargetSource}'
+       |      THEN 1 END) AS bigint) AS ct
+       |  FROM bk GROUP BY b),
+       |tterm AS (SELECT * FROM (VALUES ${values(tgt)}) AS tt(c, term)),
+       |bterm AS (SELECT * FROM (VALUES ${values(pool)}) AS bt(c, term)),
+       |w AS (
+       |  SELECT b, tt.term - bt.term AS w
+       |  FROM cnt JOIN tterm tt ON tt.c = cnt.ct
+       |  JOIN bterm bt ON bt.c = cnt.cb),
+       |scored AS (
+       |  SELECT bk.doc_id, any_value(bk.source) AS source,
+       |    cast(sum(w.w) AS bigint) AS score_micro
+       |  FROM bk JOIN w USING (b) GROUP BY bk.doc_id),
+       |m AS (SELECT cast(floor(cast(sum(score_micro) AS double) / count(*))
+       |    AS bigint) AS mean_micro FROM scored)
+       |SELECT source, cast(count(*) AS bigint) AS n_docs,
+       |  cast(count(CASE WHEN score_micro > (SELECT mean_micro FROM m)
+       |    THEN 1 END) AS bigint) AS selected_docs,
+       |  cast(sum(score_micro) AS bigint) AS total_score_micro
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def oracleSqlResolved(spark: SparkSession, sfDir: String): Map[String, String] =
     oracleSql +
       ("q65_lm_quality" -> lmQualityOracleResolved(spark, sfDir)) +
+      ("q74_dsir_select" -> dsirOracleResolved(spark, sfDir)) +
       ("q68_jsonl_census" ->
         jsonlOracleSql(graft.data.CorpusIO.jsonlGatePath(sfDir)))
 }

@@ -1345,6 +1345,118 @@ object TextQueries {
       .otherwise(transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i, lit(3)))))
 
+  /** DSIR hashed-bigram feature space: a PRIME bucket count (4093, not a
+    * power of two — the fold multiplier 131 would alias low bits mod 2^k)
+    * sized so the bucket census and its weight table stay driver-bounded
+    * constants at any corpus size. */
+  private val DsirBuckets = 4093L
+
+  /** The in-gate "target domain": one source's documents play the DSIR
+    * target corpus, the whole table plays the raw pool (the q41/q67
+    * in-gate fixture discipline — the operator is the deliverable). */
+  private[graft] val DsirTargetSource = "src0"
+
+  /** Character-fold polynomial bucket hash `h = (h·131 + code) mod 4093` —
+    * chosen over xxhash64 because BOTH engines can express it exactly
+    * (DuckDB `list_reduce` over `unicode(c)`), so the oracle re-derives
+    * bucket assignment rather than trusting ours; a production build
+    * would swap in `pmod(xxhash64(g), B)` one line here. The trailing ""
+    * Spark's limit·-1 split emits is filtered to match DuckDB's split. */
+  private[queries] def dsirBucket(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(filter(split(g, ""), c => c =!= lit("")), lit(0L),
+      (acc, c) => (acc * lit(131L) + ascii(c).cast("long")) % lit(DsirBuckets))
+
+  /** Add-one-smoothed log-probability of a count under a total, in floored
+    * micro-nats — the ONE libm call site for q74 (the q65 discipline); the
+    * oracle receives these as injected (count → term) literals. */
+  private[queries] def dsirTermMicro(c: Long, total: Long): Long =
+    math.floor(math.log((c + 1).toDouble / (total + DsirBuckets).toDouble)
+      * 1e6).toLong
+
+  private def dsirDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        wordBigrams(split(col("text"), " ")).as("bg"))
+      .filter(size(col("bg")) > 0)
+
+  /** The collected bucket census: (bucket, pool count, target count) rows
+    * plus the two totals. ≤ [[DsirBuckets]] rows by construction — a
+    * bounded-constant driver materialization at any corpus size. */
+  private def dsirCensusOn(docs: DataFrame): (Array[(Long, Long, Long)], Long, Long) = {
+    val rows = docs.select(explode(col("bg")).as("g"),
+        (col("source") === lit(DsirTargetSource)).as("is_t"))
+      .select(dsirBucket(col("g")).as("b"), col("is_t"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cb"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    (rows, rows.map(_._2).sum, rows.map(_._3).sum)
+  }
+
+  /** Driver-computed (count → micro-nat term) lookups for the oracle —
+    * (target lookup, pool lookup). The oracle re-derives every bucket
+    * count itself and joins these by count value, so only the
+    * transcendental crosses engines (the q65 injection contract). */
+  def dsirTermLookup(spark: SparkSession, sfDir: String): (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    val (rows, nb, nt) = dsirCensusOn(dsirDocs(spark, sfDir))
+    ((rows.map(_._3).distinct.sorted.map(c => c -> dsirTermMicro(c, nt))).toSeq,
+      (rows.map(_._2).distinct.sorted.map(c => c -> dsirTermMicro(c, nb))).toSeq)
+  }
+
+  /** q74: DSIR-style importance selection census (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via Importance
+    * Resampling"): score every document by the log-likelihood ratio of
+    * its hashed word-bigram features under a target-domain LM vs the raw
+    * pool's LM, and select documents the target model prefers. The paper
+    * samples ∝ exp(score); the gate pins the deterministic core — the
+    * hashed-ngram importance weight — and selects score > the corpus
+    * mean (the q65 corpus-relative flag rule; an absolute score>0 bar is
+    * vacuous when target and pool share a template vocabulary, which is
+    * exactly this corpus), a census a production resampler thresholds
+    * differently but computes identically.
+    *
+    * Scale shape: ONE tiny shuffle (the bucket census partial-aggregates
+    * into ≤4093 groups map-side), a bounded 4093-row driver collect, then
+    * scoring as a single map pass — the weight table rides into codegen
+    * as an ARRAY literal indexed by bucket (O(1) per lookup; a literal
+    * MAP would linear-scan its 4093 keys per bigram). No token-level
+    * join anywhere (the q65 lesson). Scores are integer micro-nat SUMS —
+    * no division, so no Spark-div-vs-DuckDB-floor-division divergence on
+    * negative values. */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    // persisted: the census action below + the scoring pass both read it;
+    // released by the gate runners' clearCache contract
+    val docs = dsirDocs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (rows, nb, nt) = dsirCensusOn(docs)
+    val wByBucket = rows.map { case (b, cb, ct) =>
+      b -> (dsirTermMicro(ct, nt) - dsirTermMicro(cb, nb))
+    }.toMap
+    // dense array over the full bucket range; unseen buckets are never
+    // referenced (every scored bigram was censused) but must hold a slot
+    val wArr: Seq[Long] =
+      (0L until DsirBuckets).map(b => wByBucket.getOrElse(b, 0L))
+    val wLit = typedLit(wArr)
+    val scored = docs.select(col("source"),
+      aggregate(col("bg"), lit(0L),
+        (acc, g) => acc + element_at(wLit,
+          (dsirBucket(g) + 1L).cast("int"))).as("score_micro"))
+    // floor() on a double mean is floor-toward-minus-infinity in both
+    // engines (scores go negative; integer div truncation would diverge)
+    val mean = scored.agg(
+      floor(sum(col("score_micro")).cast("double") / count(lit(1)))
+        .cast("long").as("mean_micro"))
+    scored.crossJoin(mean)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_micro") > col("mean_micro"), 1L).otherwise(0L))
+          .as("selected_docs"),
+        sum(col("score_micro")).as("total_score_micro"))
+      .orderBy(col("source"))
+  }
+
   /** q73: cross-source n-gram overlap matrix — pairwise source-level
     * Jaccard over distinct word-trigram shingles. q59 screens a corpus
     * against a held-out benchmark; THIS measures the corpus against

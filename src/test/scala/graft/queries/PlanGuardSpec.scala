@@ -179,6 +179,17 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q74 scoring is a map-side array-literal pass, not a bucket join") {
+    val p = plan("q74_dsir_select")
+    // the weight table rides into codegen as an array literal; the only
+    // join is the ONE-ROW corpus-mean cross (BroadcastNestedLoopJoin) —
+    // a hash/merge join would mean bigrams are being joined to buckets
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q67 is join-free: one codegen map pass + the source rollup") {
     val p = plan("q67_pii_census")
     assert(!p.contains("Join"), p)
