@@ -40,7 +40,8 @@ object ScaleDecade {
       "q69_dup_spans",
       "q70_dup_span_cut",
       "q72_semantic_dedup",
-      "q73_source_overlap")
+      "q73_source_overlap",
+      "q74_dsir_select")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all
