@@ -172,7 +172,14 @@ object SparkEntry {
     // q74: DSIR importance selection — hashed-bigram log-likelihood ratio
     // vs a target domain; one <=4093-group shuffle + one map-pass scoring.
     "q74_dsir_select" -> ((s: SparkSession, d: String) =>
-      TextQueries.dsirSelect(s, d))
+      TextQueries.dsirSelect(s, d)),
+    // q75: q54's sessionization run THROUGH Structured Streaming —
+    // readStream file source (one time-range slice per micro-batch),
+    // watermark, session_window aggregation, append-mode parquet session
+    // log, batch stats over the log; shares q54's oracle verbatim (the
+    // q57/q58 twin discipline), so DuckDB pins the streaming path too.
+    "q75_stream_sessions" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamSessionize.streamSessionStats(s, d))
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1117,6 +1124,13 @@ object SparkEntry {
     "q54_sessionize" -> SessionizeOracleSql,
 
     "q57_sessionize_salted" -> SessionizeOracleSql,
+
+    // q75: the streaming path (session_window over micro-batches) is
+    // session-identical to the batch window operator — verified boundary
+    // rule parity (gap == 30 min merges in both) — so it binds the SAME
+    // oracle string: DuckDB pins readStream → watermark → session_window
+    // → append session log end-to-end.
+    "q75_stream_sessions" -> SessionizeOracleSql,
 
     // q53: the oracle runs the band join as a native inequality join
     // (DuckDB IEJoin) — independent of our bin-bucketed equi-join plan.

@@ -24,7 +24,7 @@ import org.apache.spark.sql.expressions.Window
  */
 object Sessionize {
 
-  private val GapUs = 1800000000L // 30 min
+  private[graft] val GapUs = 1800000000L // 30 min
 
   /** Events with per-user session ids (`sid`, 1-based) — single keyed
     * window. Input must carry (user_id, event_id, tus). */
@@ -81,11 +81,11 @@ object Sessionize {
       .drop("__tb", "__lsid", "__merge", "__base")
   }
 
-  private def statsOver(withSid: DataFrame): DataFrame = {
-    val sessions = withSid
-      .groupBy(col("user_id"), col("sid"))
-      .agg(count(lit(1)).as("n_events"),
-        (max(col("tus")) - min(col("tus"))).as("dur_us"))
+  /** Global statistics over a per-session frame carrying (n_events,
+    * dur_us) — shared verbatim by the batch window path (q54/q57) and the
+    * Structured Streaming session_window path (q75), so the three gates
+    * cannot desynchronize on the stat math. */
+  private[graft] def statsFromSessions(sessions: DataFrame): DataFrame =
     sessions.agg(
       count(lit(1)).as("n_sessions"),
       sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("singleton_sessions"),
@@ -94,7 +94,12 @@ object Sessionize {
       max(col("dur_us")).as("max_duration_us"),
       floor(sum(col("dur_us")).cast("double") / count(lit(1)).cast("double"))
         .cast("long").as("avg_duration_us"))
-  }
+
+  private def statsOver(withSid: DataFrame): DataFrame =
+    statsFromSessions(withSid
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tus")) - min(col("tus"))).as("dur_us")))
 
   private def eventsWithTus(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
