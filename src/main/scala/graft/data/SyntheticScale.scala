@@ -108,6 +108,21 @@ object SyntheticScale {
         (pmod(xxhash64(col("id"), lit(45)), lit(9000000)).cast("double")
           / lit(100.0) + lit(900.0)).as("l_extendedprice"))
 
+  /** events: the columns the sessionize family (q54/q57/q75) consumes —
+    * testdata shape (sf0.1 ≈ 100k rows / 1500 users / a 30-day span), so
+    * the 10× table holds the 30-day span and users·density both grow
+    * (sessions-per-user stays realistic while state size scales). */
+  def events(spark: SparkSession, n: Long, users: Long, parts: Int): DataFrame = {
+    val spanUs = 30L * 24 * 3600 * 1000000
+    val t0 = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    spark.range(0L, n, 1L, parts)
+      .select(
+        col("id").as("event_id"),
+        timestamp_micros(unix_micros(t0) +
+          pmod(xxhash64(col("id"), lit(51)), lit(spanUs))).as("ts"),
+        pmod(xxhash64(col("id"), lit(52)), lit(users)).as("user_id"))
+  }
+
   /** Generate the full table set for `scale` (1 ≈ sf0.1 shape) under
     * `dir`, skipping tables that already exist (idempotent re-runs). */
   def writeAll(spark: SparkSession, dir: String, scale: Int): Unit = {
@@ -116,7 +131,8 @@ object SyntheticScale {
       "documents" -> (() => documents(spark, 5000L * scale, parts)),
       "embeddings" -> (() => embeddings(spark, 2000L * scale, parts)),
       "orders" -> (() => orders(spark, 150000L * scale, parts)),
-      "lineitem" -> (() => lineitem(spark, 600000L * scale, parts)))
+      "lineitem" -> (() => lineitem(spark, 600000L * scale, parts)),
+      "events" -> (() => events(spark, 100000L * scale, 1500L * scale, parts)))
     tables.foreach { case (name, build) =>
       val path = s"$dir/$name.parquet"
       if (!new java.io.File(path, "_SUCCESS").exists())

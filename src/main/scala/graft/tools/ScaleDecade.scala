@@ -41,7 +41,8 @@ object ScaleDecade {
       "q70_dup_span_cut",
       "q72_semantic_dedup",
       "q73_source_overlap",
-      "q74_dsir_select")
+      "q74_dsir_select",
+      "q75_stream_sessions")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all
