@@ -179,7 +179,23 @@ object SparkEntry {
     // log, batch stats over the log; shares q54's oracle verbatim (the
     // q57/q58 twin discipline), so DuckDB pins the streaming path too.
     "q75_stream_sessions" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamSessionize.streamSessionStats(s, d))
+      graft.streaming.StreamSessionize.streamSessionStats(s, d)),
+    // q76: temperature-scaled source mixture weights (p_s ∝ n_s^α,
+    // α = 0.5) + effective-epochs diagnostic — the weights q50's
+    // scheduler consumes, derived from the corpus census; one shuffle,
+    // broadcast α-term lookup, all-integral arithmetic.
+    "q76_mixture_weights" -> MixtureWeights.mixtureWeights _,
+    // q77: hard-negative mining for contrastive training — per query
+    // vector, the top-5 highest-cosine CROSS-label candidates below the
+    // 0.9 false-negative band (planted cross-label twins prove the band
+    // fires), plus positive-mean and margin; salted two-level top-k, no
+    // single-task-per-query global sort.
+    "q77_hard_negatives" -> AnnQueries.hardNegatives _,
+    // q78: the flagship heavy-hitter build run THROUGH Structured
+    // Streaming micro-batches (complete mode, monoid state merge) —
+    // identical output contract to q02, whose oracle it shares verbatim.
+    "q78_stream_topk" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamSketch.streamTopKUsers(s, d))
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -197,6 +213,13 @@ object SparkEntry {
     * row-identical to the unsalted operators by construction, and binding
     * the SQL once makes that sharing structural — an edit to the operator
     * definition cannot desynchronize the two gates. */
+  /** q02/q78 share ONE oracle string: the streamed build is
+    * sketch-identical to the batch build by the merge monoid, and binding
+    * the SQL once makes that sharing structural. */
+  private val TopKUsersOracleSql: String =
+    """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count
+      |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin
+
   private val SessionizeOracleSql: String =
     """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
@@ -306,9 +329,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS est_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "q02_cm_topk_users" ->
-      """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count
-        |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin,
+    "q02_cm_topk_users" -> TopKUsersOracleSql,
+
+    // q78: the streamed heavy-hitter build is sketch-identical to q02's
+    // batch build (monoid state merge — StreamingSpec pins bit-parity),
+    // so it binds the SAME oracle string (the q54/q57 twin discipline).
+    "q78_stream_topk" -> TopKUsersOracleSql,
 
     "q03_cm_bound_partkeys" ->
       """SELECT count(DISTINCT l_partkey) AS n_keys,
@@ -1003,6 +1029,73 @@ object SparkEntry {
         |  cast(sum(score_micro) AS bigint) AS total_score_micro
         |FROM scored GROUP BY source ORDER BY source""".stripMargin,
 
+    // q76 standalone form: computes the α-terms with SQL pow() — carries
+    // the cross-engine libm dependence, so the gate runs the RESOLVED
+    // variant with the (n_tokens → term) pairs injected as literals (the
+    // q65/q74 contract); this entry stays valid ANSI SQL on its own.
+    "q76_mixture_weights" ->
+      """WITH tok AS (SELECT source, len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |per AS (SELECT source, cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(n) AS bigint) AS n_tokens FROM tok GROUP BY source),
+        |term AS (SELECT n_tokens AS c,
+        |  cast(floor(pow(n_tokens, 0.5) * 1000) AS bigint) AS term
+        |  FROM (SELECT DISTINCT n_tokens FROM per)),
+        |j AS (SELECT per.*, term.term FROM per JOIN term ON term.c = per.n_tokens),
+        |tot AS (SELECT sum(term) AS total_term,
+        |  sum(n_tokens) AS total_tokens FROM j)
+        |SELECT source, n_docs, n_tokens,
+        |  cast((term * 1000000) // total_term AS bigint) AS weight_micro,
+        |  cast((((term * 1000000) // total_term) * total_tokens * 10)
+        |    // (n_tokens * 1000) AS bigint) AS epochs_milli,
+        |  ((((term * 1000000) // total_term) * total_tokens * 10)
+        |    // (n_tokens * 1000)) > 10000 AS upsampled
+        |FROM j, tot ORDER BY source""".stripMargin,
+
+    // q77: fully ANSI (no transcendental — the dot/norm float math is the
+    // proven q24/q25 list_transform mirror, bit-identical accumulation
+    // order). The oracle re-plants the SAME cross-label twins and ranks
+    // with its own window; integral div is truncating in both engines.
+    "q77_hard_negatives" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding, (label + 1) % 10
+        |  FROM embeddings WHERE vec_id < 3),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlab
+        |  FROM emb WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.query_id, q.qlab, e.vec_id AS neighbor_id, e.label,
+        |    cast(floor(
+        |      list_sum(list_transform(range(1, len(q.qvec) + 1),
+        |        i -> cast(q.qvec[i] AS double) * cast(e.embedding[i] AS double)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(q.qvec) + 1),
+        |          i -> cast(q.qvec[i] AS double) * cast(q.qvec[i] AS double))))
+        |        * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> cast(e.embedding[i] AS double) * cast(e.embedding[i] AS double)))))
+        |      * 1000000.0) AS bigint) AS sim_micro
+        |  FROM emb e, q WHERE e.vec_id <> q.query_id),
+        |stats AS (
+        |  SELECT query_id,
+        |    CASE WHEN count(CASE WHEN label = qlab THEN 1 END) > 0
+        |      THEN cast(sum(CASE WHEN label = qlab THEN sim_micro END)
+        |        // count(CASE WHEN label = qlab THEN 1 END) AS bigint)
+        |      ELSE 0 END AS pos_mean_micro,
+        |    cast(count(CASE WHEN label <> qlab AND sim_micro >= 900000
+        |      THEN 1 END) AS bigint) AS fn_suspects
+        |  FROM pairs GROUP BY query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim_micro DESC, neighbor_id) AS rn
+        |  FROM pairs WHERE label <> qlab AND sim_micro < 900000)
+        |SELECT r.query_id, cast(rn AS int) AS rn, neighbor_id, sim_micro,
+        |  s.pos_mean_micro,
+        |  cast(s.pos_mean_micro - sim_micro AS bigint) AS margin_micro,
+        |  s.fn_suspects
+        |FROM ranked r JOIN stats s USING (query_id)
+        |WHERE rn <= 5 ORDER BY r.query_id, rn""".stripMargin,
+
     "q41_lsh_neardup" ->
       """WITH u AS (
         |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
@@ -1396,10 +1489,40 @@ object SparkEntry {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q76 oracle with the α-terms INJECTED (the q65/q74 contract): the
+    * oracle independently re-derives every per-source doc and token count,
+    * both totals, and all the integral weight/epochs arithmetic — only the
+    * (n_tokens → floor(n^α·1000)) transcendental pairs arrive as literals,
+    * joined on the oracle's OWN counts, so a wrong Spark-side census still
+    * breaks the join and fails the gate. */
+  private def mixtureOracleResolved(spark: SparkSession, sfDir: String): String = {
+    val lookup = graft.queries.MixtureWeights.alphaTermLookup(spark, sfDir)
+    if (lookup.isEmpty) return oracleSql("q76_mixture_weights")
+    val values = lookup
+      .map { case (c, t) => s"(cast($c AS bigint), cast($t AS bigint))" }
+      .mkString(", ")
+    s"""WITH tok AS (SELECT source, len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE text IS NOT NULL),
+       |per AS (SELECT source, cast(count(*) AS bigint) AS n_docs,
+       |  cast(sum(n) AS bigint) AS n_tokens FROM tok GROUP BY source),
+       |term AS (SELECT * FROM (VALUES $values) AS t(c, term)),
+       |j AS (SELECT per.*, term.term FROM per JOIN term ON term.c = per.n_tokens),
+       |tot AS (SELECT sum(term) AS total_term,
+       |  sum(n_tokens) AS total_tokens FROM j)
+       |SELECT source, n_docs, n_tokens,
+       |  cast((term * 1000000) // total_term AS bigint) AS weight_micro,
+       |  cast((((term * 1000000) // total_term) * total_tokens * 10)
+       |    // (n_tokens * 1000) AS bigint) AS epochs_milli,
+       |  ((((term * 1000000) // total_term) * total_tokens * 10)
+       |    // (n_tokens * 1000)) > 10000 AS upsampled
+       |FROM j, tot ORDER BY source""".stripMargin
+  }
+
   def oracleSqlResolved(spark: SparkSession, sfDir: String): Map[String, String] =
     oracleSql +
       ("q65_lm_quality" -> lmQualityOracleResolved(spark, sfDir)) +
       ("q74_dsir_select" -> dsirOracleResolved(spark, sfDir)) +
+      ("q76_mixture_weights" -> mixtureOracleResolved(spark, sfDir)) +
       ("q68_jsonl_census" ->
         jsonlOracleSql(graft.data.CorpusIO.jsonlGatePath(sfDir)))
 }

@@ -550,4 +550,91 @@ object AnnQueries {
         sum(col("centroid_sim_micro")).as("sum_centroid_sim_micro"))
       .orderBy(col("cid"))
   }
+
+  /** q77 query-set size (bounded metadata: Q queries, not O(corpus)). */
+  private val HardNegQueries = 20L
+
+  /** q77 hardest-negatives kept per query. */
+  private val HardNegK = 5
+
+  /** q77 false-negative exclusion band: a cross-label candidate at cosine
+    * ≥ 0.9 is presumed a mislabeled duplicate (a FALSE negative — training
+    * on it as a negative is the classic contrastive-data bug), so it is
+    * counted and EXCLUDED rather than mined. */
+  private val FalseNegBandMicro = 900000L
+
+  /** q77 level-1 top-k salt width — scales with cluster width at 100 TB. */
+  private val HardNegSalts = 8
+
+  /** q77: hard-negative mining for contrastive training (DPR, Karpukhin
+    * et al. 2020; ANCE): for each of Q query vectors, the K highest-cosine
+    * candidates with a DIFFERENT label (label = the positive-group proxy),
+    * excluding the ≥0.9 false-negative band, plus the query's same-label
+    * mean similarity and the margin (pos mean − negative sim; negative
+    * margin = the negative is harder than the average positive).
+    *
+    * The gate plants cross-label near-duplicate twins of vectors 0–2 (the
+    * corpus has no organic cross-label dups — the q41/q59/q67 in-gate
+    * fixture discipline), so the exclusion band provably fires:
+    * fn_suspects = 1 for those queries and the twin never appears as a
+    * mined negative.
+    *
+    * Scale shape: ONE pass over corpus × broadcast(Q queries) computes all
+    * similarities; the n·Q candidate frame is persisted for its two
+    * consumers (per-query stats aggregate + top-k). Top-k never sorts a
+    * query's full candidate list in one task (the q24 brute baseline
+    * does, acceptably for its 5-query census): level 1 takes row_number
+    * within (query, salt) partitions — Q·S parallel sorts, each holding
+    * the global top-K as a superset — and level 2 ranks the surviving
+    * Q·S·K rows. Division is integral `div` (truncating in BOTH engines,
+    * verified on negatives — cosines here can be < 0). */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val planted = base.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        pmod(col("label") + 1, lit(10)).as("label"))
+    val emb = base.unionByName(planted)
+    val queries = emb.filter(col("vec_id") < HardNegQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlab"))
+    // persisted: the candidate frame feeds the stats aggregate AND the
+    // top-k path; n·Q rows with Q bounded (multi-consumer discipline)
+    val pairs = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlab"),
+        col("vec_id").as("neighbor_id"), col("label"),
+        floor(cosine(col("qvec"), col("embedding")) * 1000000.0).cast("long")
+          .as("sim_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = pairs.groupBy(col("query_id")).agg(
+      sum(when(col("label") === col("qlab"), col("sim_micro"))).as("pos_sum"),
+      sum(when(col("label") === col("qlab"), 1L).otherwise(0L)).as("pos_cnt"),
+      sum(when(col("label") =!= col("qlab")
+        && col("sim_micro") >= FalseNegBandMicro, 1L).otherwise(0L))
+        .as("fn_suspects"))
+      .withColumn("pos_mean_micro",
+        when(col("pos_cnt") > 0L, expr("pos_sum div pos_cnt")).otherwise(0L))
+      .select(col("query_id"), col("pos_mean_micro"), col("fn_suspects"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("salt"))
+      .orderBy(desc("sim_micro"), asc("neighbor_id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("sim_micro"), asc("neighbor_id"))
+    pairs
+      .filter(col("label") =!= col("qlab")
+        && col("sim_micro") < FalseNegBandMicro)
+      .withColumn("salt", pmod(xxhash64(col("neighbor_id")), lit(HardNegSalts)))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= HardNegK)
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= HardNegK)
+      .join(broadcast(stats), Seq("query_id"))
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("sim_micro"),
+        col("pos_mean_micro"),
+        (col("pos_mean_micro") - col("sim_micro")).as("margin_micro"),
+        col("fn_suspects"))
+      .orderBy(col("query_id"), col("rn"))
+  }
 }

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Deterministic arrival synthesis for the streaming gate queries (q75/q78):
+ * a static gate table has no arrival order, so the gate slices it into
+ * time-RANGE-disjoint single-file parquet slices with strictly increasing
+ * modification times — the file source then replays them oldest-first, one
+ * micro-batch per file. Disjoint ordered slices mean no event is ever late
+ * w.r.t. any non-negative watermark (every new file's events exceed the
+ * prior maximum event time).
+ *
+ * This staging exists only to synthesize arrival from a static table —
+ * production points the identical readStream plans at the real landing
+ * zone (files/Kafka), where arrival order is physical.
+ */
+private[graft] object SliceReplay {
+
+  /** Move the single parquet part file of `stageDir` to `dest` and stamp
+    * `modMs` so the file source replays slices oldest-first. No part file
+    * (empty slice) is fine — the slice is just skipped. */
+  private def promotePartFile(stageDir: String, dest: String, modMs: Long): Unit = {
+    val parts = Option(new File(stageDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    require(parts.length <= 1, s"expected one part file in $stageDir")
+    parts.foreach { p =>
+      Files.move(p.toPath, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+      new File(dest).setLastModified(modMs)
+    }
+  }
+
+  /** Stage `df` (must carry a long `tus` event-time column) as `slices`
+    * disjoint time-range files under `root/in`; `last`, if given, becomes
+    * the final slice (q75's watermark sentinel). Returns the staged
+    * schema for the readStream contract. */
+  def stage(spark: SparkSession, df: DataFrame, slices: Int, root: String,
+      last: Option[DataFrame] = None): StructType = {
+    new File(s"$root/in").mkdirs()
+    val (minTus, maxTus) = {
+      val r = df.agg(min(col("tus")), max(col("tus"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val width = math.max(1L, (maxTus - minTus) / slices + 1)
+    val baseMs = System.currentTimeMillis() - (slices + 2) * 4000L
+    (0 until slices).foreach { i =>
+      df.filter(floor((col("tus") - lit(minTus)) / lit(width)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
+      promotePartFile(s"$root/stage", s"$root/in/slice_$i.parquet",
+        baseMs + i * 4000L)
+    }
+    last.foreach { extra =>
+      extra.coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
+      promotePartFile(s"$root/stage", s"$root/in/slice_last.parquet",
+        baseMs + (slices + 1) * 4000L)
+    }
+    df.schema
+  }
+
+  /** Start a streaming query with `spark.sql.shuffle.partitions` set to
+    * `statePartitions` for the duration of the plan's materialization:
+    * stateful operators inherit the setting at query start and every
+    * micro-batch pays a per-partition state commit, so the gates size the
+    * state layout to their key cardinality instead of the batch engine's
+    * 32 — the same independent-sizing knob a 100 TB run turns UP (state
+    * partitions ≈ executor cores, not batch shuffle width). */
+  def startSized(spark: SparkSession, statePartitions: String)(
+      start: => StreamingQuery): StreamingQuery = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try start finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  /** (data micro-batches, state rows updated) — spec-visible evidence a
+    * gate run was genuinely incremental and stateful. */
+  final case class RunStats(batches: Int, stateRows: Long)
+
+  /** Drain the stream, capture progress evidence, stop. */
+  def runToCompletion(q: StreamingQuery): RunStats =
+    try {
+      q.processAllAvailable()
+      val progress = q.recentProgress
+      RunStats(progress.count(_.numInputRows > 0),
+        progress.flatMap(_.stateOperators.map(_.numRowsUpdated)).sum)
+    } finally { q.stop() }
+}

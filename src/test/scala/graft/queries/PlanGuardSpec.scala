@@ -190,6 +190,36 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q76 joins are broadcast-only over the persisted census") {
+    val p = plan("q76_mixture_weights")
+    // the α-term lookup and the 1-row totals ride as broadcasts onto the
+    // ≤S-row census; a shuffle/merge join here would mean per-source
+    // metadata is being exchanged like corpus data
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus scan + census aggregate runs ONCE: BOTH consumers (the
+    // totals branch and the output join) read the persisted frame — a
+    // consumer bypassing it would re-plan its own FileScan + aggregate
+    // (the InMemoryRelation's rendering legitimately embeds the one
+    // cached build plan, so count consumers, not scans)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    spark.catalog.clearCache()
+  }
+
+  test("q77 top-k is two-level salted — no single-task-per-query sort of the corpus") {
+    val p = plan("q77_hard_negatives")
+    // level 1 must rank within (query_id, salt) partitions: the salt key
+    // appearing in a window spec is the evidence; deleting the salted
+    // level would leave only the Q-partition window over n rows
+    assert("windowspecdefinition\\(query_id#\\d+L, salt#\\d+L".r
+      .findFirstIn(p).isDefined, s"salted level-1 window missing:\n$p")
+    // per-query stats ride back as a broadcast; nothing shuffle-joins
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q67 is join-free: one codegen map pass + the source rollup") {
     val p = plan("q67_pii_census")
     assert(!p.contains("Join"), p)

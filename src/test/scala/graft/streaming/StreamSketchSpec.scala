@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.queries.SketchQueries
+
+/**
+ * q78 contract: the streamed heavy-hitter build equals the batch q02 build
+ * (the monoid claim behind the shared oracle) for ANY slicing, and the run
+ * is genuinely multi-micro-batch.
+ */
+class StreamSketchSpec extends SparkTestBase {
+
+  private def batch = SketchQueries.cmTopKUsers(spark, sf("sf0.001"))
+    .collect().map(_.toString).toSeq
+
+  test("streamed build == batch build at sf0.001, over >=3 micro-batches") {
+    val streamed = StreamSketch.streamTopKUsers(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(StreamSketch.lastRunBatches >= 3,
+      s"expected >=3 data micro-batches, got ${StreamSketch.lastRunBatches}")
+  }
+
+  test("slice count cannot change the result (merge is a monoid)") {
+    val oneSlice = StreamSketch.streamTopKUsers(spark, sf("sf0.001"), slices = 1)
+      .collect().map(_.toString).toSeq
+    val sevenSlices = StreamSketch.streamTopKUsers(spark, sf("sf0.001"), slices = 7)
+      .collect().map(_.toString).toSeq
+    assert(oneSlice === batch)
+    assert(sevenSlices === batch)
+  }
+}
