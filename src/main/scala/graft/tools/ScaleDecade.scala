@@ -42,7 +42,10 @@ object ScaleDecade {
       "q72_semantic_dedup",
       "q73_source_overlap",
       "q74_dsir_select",
-      "q75_stream_sessions")
+      "q75_stream_sessions",
+      "q76_mixture_weights",
+      "q77_hard_negatives",
+      "q78_stream_topk")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all
