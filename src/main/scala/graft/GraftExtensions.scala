@@ -113,6 +113,12 @@ object GraftExtensions {
       exprs => {
         require(exprs.length == 2, "usage: topk_entries_sketch(sketch, k)")
         TopKEntriesSketch(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("cosine_micro"),
+      new ExpressionInfo(classOf[graft.agg.CosineMicro].getName, "cosine_micro"),
+      exprs => {
+        require(exprs.length == 2, "usage: cosine_micro(vec_a, vec_b)")
+        graft.agg.CosineMicro(exprs.head, exprs(1))
       }))
 
   /** Register the same functions into an already-running session, plus the

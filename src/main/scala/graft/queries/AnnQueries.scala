@@ -43,6 +43,19 @@ object AnnQueries {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** `floor(cosine·10⁶)` as ONE fused native Catalyst expression
+    * ([[graft.agg.CosineMicro]] — real doGenCode: single loop, no
+    * intermediate zip_with array, norms not re-aggregated as separate
+    * subtrees). Bit-identical to `floor(cosine(a,b)·1e6).cast("long")`
+    * (VectorExprSpec pins parity on adversarial vectors), so swapping it
+    * into the oracle-gated pair kernels cannot move a value. Registers the
+    * function into the active session idempotently (the temp-function
+    * registry is the public Expression→Column path). */
+  private def cosMicro(a: Column, b: Column): Column = {
+    graft.agg.VectorExpressions.register(SparkSession.active)
+    call_function("cosine_micro", a, b)
+  }
+
   /** q24: brute-force cosine top-10 neighbors for the 5 lowest-id query
     * vectors (excluding self-matches). */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -52,7 +65,7 @@ object AnnQueries {
     val pairs = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        floor(cosine(col("qvec"), col("embedding")) * 1000000.0).cast("long")
+        cosMicro(col("qvec"), col("embedding"))
           .as("sim_micro"))
     // per-query top-10: rank within query partition
     val w = org.apache.spark.sql.expressions.Window
@@ -223,7 +236,7 @@ object AnnQueries {
       .join(emb.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(emb.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        floor(cosine(col("va"), col("vb")) * 1000000.0).cast("long").as("sim_micro"))
+        cosMicro(col("va"), col("vb")).as("sim_micro"))
       .filter(col("sim_micro") >= 900000L)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -317,7 +330,7 @@ object AnnQueries {
     val candidates = probes.join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        floor(cosine(col("qvec"), col("embedding")) * 1000000.0).cast("long")
+        cosMicro(col("qvec"), col("embedding"))
           .as("sim_micro"))
     candidates.withColumn("rn", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
@@ -420,8 +433,7 @@ object AnnQueries {
     val sub = PairTiling.hashSubset(emb, "vec_id", emb.count(), target = target)
     val pairSims = PairTiling.allPairs(sub, "vec_id", Nil)
       .select((col("bucket_a") === col("bucket_b")).as("same"),
-        floor(cosine(col("embedding_a"), col("embedding_b")) * 1000000.0)
-          .cast("long").as("sim_micro"))
+        cosMicro(col("embedding_a"), col("embedding_b")).as("sim_micro"))
     val verdict = pairSims.agg(
       avg(when(col("same"), col("sim_micro").cast("double"))).as("within"),
       avg(col("sim_micro").cast("double")).as("background"))
@@ -461,7 +473,7 @@ object AnnQueries {
     val brute = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        floor(cosine(col("qvec"), col("embedding")) * 1000000.0).cast("long")
+        cosMicro(col("qvec"), col("embedding"))
           .as("sim_micro"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -521,7 +533,7 @@ object AnnQueries {
     val assigned = u.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"),
         struct(
-          floor(cosine(col("v"), col("cvec")) * 1000000.0).cast("long")
+          cosMicro(col("v"), col("cvec"))
             .as("csim"),
           (lit(0L) - col("cid")).as("ncid")).as("s"))
       .groupBy(col("vec_id"))
@@ -538,7 +550,7 @@ object AnnQueries {
       .join(assigned.select(col("cid"), col("vec_id").as("id_b"),
         col("v").as("vb")), Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .filter(floor(cosine(col("va"), col("vb")) * 1000000.0).cast("long")
+      .filter(cosMicro(col("va"), col("vb"))
         >= simMicro)
       .select(col("id_b").as("vec_id"))
       .distinct()
@@ -604,7 +616,7 @@ object AnnQueries {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qlab"),
         col("vec_id").as("neighbor_id"), col("label"),
-        floor(cosine(col("qvec"), col("embedding")) * 1000000.0).cast("long")
+        cosMicro(col("qvec"), col("embedding"))
           .as("sim_micro"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = pairs.groupBy(col("query_id")).agg(

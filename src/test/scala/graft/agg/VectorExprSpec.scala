@@ -1,0 +1,86 @@
+package graft.agg
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.SparkTestBase
+
+/**
+ * CosineMicro contract: bit-parity with the HOF formula the ANN family
+ * gates were verified against, plus the null/length edge semantics the
+ * zip_with padding implies.
+ */
+class VectorExprSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  VectorExpressions.register(spark)
+
+  private def hofCosMicro(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column) =
+      sqrt(aggregate(transform(x, v => v.cast("double") * v.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+    floor(dot(a, b) / (norm(a) * norm(b)) * 1000000.0).cast("long")
+  }
+
+  test("bit-parity with the HOF formula on adversarial random float vectors") {
+    val rng = new scala.util.Random(42)
+    def vec(d: Int) = Array.fill(d)(
+      (rng.nextFloat() - 0.5f) * math.pow(10, rng.nextInt(7) - 3).toFloat)
+    val rows = (1 to 500).map(_ => (vec(64), vec(64))) ++
+      (1 to 100).map(_ => (vec(3), vec(3))) ++
+      Seq((Array(1f, 0f), Array(1f, 0f)),            // cosine exactly 1
+        (Array(1f, 0f), Array(-1f, 0f)),             // exactly -1
+        (Array(1e-30f, 0f), Array(1e-30f, 1e-38f)))  // denormal territory
+    val df = rows.toDF("a", "b")
+      .select(hofCosMicro(col("a"), col("b")).as("hof"),
+        call_function("cosine_micro", col("a"), col("b")).as("native"))
+    assert(df.filter(col("hof") =!= col("native")).count() === 0)
+    assert(df.filter(col("hof").isNull =!= col("native").isNull).count() === 0)
+  }
+
+  test("parity holds on double arrays too (the q72 widened path)") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 200).map(_ =>
+      (Array.fill(64)(rng.nextGaussian()), Array.fill(64)(rng.nextGaussian())))
+    val df = rows.toDF("a", "b")
+      .select(hofCosMicro(col("a"), col("b")).as("hof"),
+        call_function("cosine_micro", col("a"), col("b")).as("native"))
+    assert(df.filter(col("hof") =!= col("native")).count() === 0)
+  }
+
+  test("null/length edge contract: null array, null element, length mismatch -> null") {
+    val df = Seq(
+      (Some(Seq(Some(1f), Some(2f))), None: Option[Seq[Option[Float]]]),
+      (Some(Seq(Some(1f), None)), Some(Seq(Some(1f), Some(2f)))),
+      (Some(Seq(Some(1f))), Some(Seq(Some(1f), Some(2f))))
+    ).toDF("a", "b")
+      .select(call_function("cosine_micro", col("a"), col("b")).as("native"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
+  test("interpreted eval matches codegen (filter pushdown / fallback paths)") {
+    // force the interpreted path through a literal-only projection the
+    // optimizer constant-folds via eval()
+    val lit64a = typedLit(Array.fill(8)(0.25f))
+    val lit64b = typedLit(Array.fill(8)(0.5f))
+    val folded = spark.range(1)
+      .select(call_function("cosine_micro", lit64a, lit64b).as("v"))
+      .head().getLong(0)
+    assert(folded === 1000000L - 1L || folded === 1000000L) // cos == 1 up to fp
+    val viaRow = Seq((Array.fill(8)(0.25f), Array.fill(8)(0.5f))).toDF("a", "b")
+      .select(call_function("cosine_micro", col("a"), col("b")))
+      .head().getLong(0)
+    assert(folded === viaRow)
+  }
+
+  test("analysis-time type error on non-array input") {
+    val ex = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b")
+        .select(call_function("cosine_micro", col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("cosine_micro"))
+  }
+}
