@@ -116,10 +116,7 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("cosine_micro"),
       new ExpressionInfo(classOf[graft.agg.CosineMicro].getName, "cosine_micro"),
-      exprs => {
-        require(exprs.length == 2, "usage: cosine_micro(vec_a, vec_b)")
-        graft.agg.CosineMicro(exprs.head, exprs(1))
-      }))
+      graft.agg.VectorExpressions.cosineMicroBuilder))
 
   /** Register the same functions into an already-running session, plus the
     * full udaf build surface via [[graft.agg.SketchFunctions.register]]

@@ -1057,10 +1057,10 @@ object SparkEntry {
     // order). The oracle re-plants the SAME cross-label twins and ranks
     // with its own window; integral div is truncating in both engines.
     "q77_hard_negatives" ->
-      """WITH emb AS (
+      s"""WITH emb AS (
         |  SELECT vec_id, embedding, label FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 100000, embedding, (label + 1) % 10
+        |  SELECT vec_id + ${AnnQueries.DupIdOffset}, embedding, (label + 1) % 10
         |  FROM embeddings WHERE vec_id < 3),
         |q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlab
         |  FROM emb WHERE vec_id < 20),

@@ -35,8 +35,12 @@ case class CosineMicro(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_micro"
 
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // resolved once, not per interpreted row (the element type is fixed at
+  // analysis time); transient so a serialized expression re-derives them
+  @transient private lazy val leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -54,7 +58,7 @@ case class CosineMicro(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n != b.numElements()) return null
-    val fa = isFloat(left); val fb = isFloat(right)
+    val fa = leftIsFloat; val fb = rightIsFloat
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
@@ -73,9 +77,9 @@ case class CosineMicro(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)"
+      val getA = if (leftIsFloat) s"(double) $a.getFloat($i)"
         else s"$a.getDouble($i)"
-      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)"
+      val getB = if (rightIsFloat) s"(double) $b.getFloat($i)"
         else s"$b.getDouble($i)"
       s"""
          |final int $n = $a.numElements();
@@ -103,15 +107,18 @@ case class CosineMicro(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  /** The ONE cosine_micro builder — shared by [[register]] and
+    * `GraftExtensions.functionDescriptions` so the two registration
+    * paths cannot drift. */
+  val cosineMicroBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "usage: cosine_micro(vec_a, vec_b)")
+    CosineMicro(exprs.head, exprs(1))
+  }
+
   /** Idempotent session registration (the NativeCountMinAgg.register
     * pattern) — query builders call this before constructing plans that
     * use `call_function("cosine_micro", ...)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_micro",
-      exprs => {
-        require(exprs.length == 2, "usage: cosine_micro(vec_a, vec_b)")
-        CosineMicro(exprs.head, exprs(1))
-      },
-      "built-in")
+      "cosine_micro", cosineMicroBuilder, "built-in")
 }

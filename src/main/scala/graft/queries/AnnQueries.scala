@@ -188,7 +188,7 @@ object AnnQueries {
   private val NearDupTables = 16
   private val NearDupBits = 12
   /** Planted-duplicate id offset in [[lshNearDupPairs]]. */
-  private val DupIdOffset = 10000000L
+  private[graft] val DupIdOffset = 10000000L
 
   /** q72 knobs: seed-centroid stride (K = n_embeddings / 64 clusters) and
     * the duplicate threshold in floored micro-cosine (0.9, the q41 regime:
@@ -585,9 +585,11 @@ object AnnQueries {
     * mean similarity and the margin (pos mean − negative sim; negative
     * margin = the negative is harder than the average positive).
     *
-    * The gate plants cross-label near-duplicate twins of vectors 0–2 (the
-    * corpus has no organic cross-label dups — the q41/q59/q67 in-gate
-    * fixture discipline), so the exclusion band provably fires:
+    * The gate plants cross-label near-duplicate twins of vectors 0–2 at
+    * the established DupIdOffset (collision-free headroom — the q41
+    * convention; the corpus has no organic cross-label dups, the
+    * q41/q59/q67 in-gate fixture discipline), so the exclusion band
+    * provably fires:
     * fn_suspects = 1 for those queries and the twin never appears as a
     * mined negative.
     *
@@ -604,7 +606,7 @@ object AnnQueries {
     val base = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"))
     val planted = base.filter(col("vec_id") < 3)
-      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+      .select((col("vec_id") + DupIdOffset).as("vec_id"), col("embedding"),
         pmod(col("label") + 1, lit(10)).as("label"))
     val emb = base.unionByName(planted)
     val queries = emb.filter(col("vec_id") < HardNegQueries)

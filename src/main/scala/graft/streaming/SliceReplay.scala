@@ -17,11 +17,32 @@ import org.apache.spark.sql.types.StructType
  * w.r.t. any non-negative watermark (every new file's events exceed the
  * prior maximum event time).
  *
+ * Staging is ONE aggregate (tus bounds, skipped when the caller already
+ * has them) plus ONE pass over the input: rows shuffle to one task per
+ * slice id and `partitionBy` writes one file per slice — not a
+ * filter-and-rewrite per slice. Hash partitioning on the slice id keeps
+ * every slice inside a single task even if AQE coalesces, so each
+ * partition directory holds exactly one part file to promote.
+ *
  * This staging exists only to synthesize arrival from a static table —
  * production points the identical readStream plans at the real landing
  * zone (files/Kafka), where arrival order is physical.
  */
 private[graft] object SliceReplay {
+
+  /** Per-gate staging root, REUSED across invocations (deleted and
+    * recreated at entry): repeated gate/bench/decade cycles hold at most
+    * one staged copy per query on disk instead of leaking a table copy
+    * per sample. Callers consume the returned plan before the next
+    * invocation (the gate's run-then-clearCache discipline). Test forking
+    * is single-JVM/sequential, so the fixed path cannot race. */
+  def freshRoot(tag: String): String = {
+    val root = new File(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-gate/$tag")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    new File(root, "in").mkdirs()
+    root.toString
+  }
 
   /** Move the single parquet part file of `stageDir` to `dest` and stamp
     * `modMs` so the file source replays slices oldest-first. No part file
@@ -38,26 +59,29 @@ private[graft] object SliceReplay {
 
   /** Stage `df` (must carry a long `tus` event-time column) as `slices`
     * disjoint time-range files under `root/in`; `last`, if given, becomes
-    * the final slice (q75's watermark sentinel). Returns the staged
-    * schema for the readStream contract. */
+    * the final slice (q75's watermark sentinel). Pass `bounds` when the
+    * caller already aggregated (min tus, max tus) — saves the extra scan.
+    * Returns the staged schema for the readStream contract. */
   def stage(spark: SparkSession, df: DataFrame, slices: Int, root: String,
-      last: Option[DataFrame] = None): StructType = {
-    new File(s"$root/in").mkdirs()
-    val (minTus, maxTus) = {
+      last: Option[DataFrame] = None,
+      bounds: Option[(Long, Long)] = None): StructType = {
+    val (minTus, maxTus) = bounds.getOrElse {
       val r = df.agg(min(col("tus")), max(col("tus"))).head()
       (r.getLong(0), r.getLong(1))
     }
     val width = math.max(1L, (maxTus - minTus) / slices + 1)
     val baseMs = System.currentTimeMillis() - (slices + 2) * 4000L
+    df.withColumn("__slice",
+        floor((col("tus") - lit(minTus)) / lit(width)).cast("int"))
+      .repartition(slices + 1, col("__slice"))
+      .write.mode("overwrite").partitionBy("__slice").parquet(s"$root/stage")
     (0 until slices).foreach { i =>
-      df.filter(floor((col("tus") - lit(minTus)) / lit(width)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
-      promotePartFile(s"$root/stage", s"$root/in/slice_$i.parquet",
+      promotePartFile(s"$root/stage/__slice=$i", s"$root/in/slice_$i.parquet",
         baseMs + i * 4000L)
     }
     last.foreach { extra =>
-      extra.coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
-      promotePartFile(s"$root/stage", s"$root/in/slice_last.parquet",
+      extra.coalesce(1).write.mode("overwrite").parquet(s"$root/stage_last")
+      promotePartFile(s"$root/stage_last", s"$root/in/slice_last.parquet",
         baseMs + (slices + 1) * 4000L)
     }
     df.schema

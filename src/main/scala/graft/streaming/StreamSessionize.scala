@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -28,9 +26,11 @@ import graft.queries.{Sessionize, Tables}
  * end is below the watermark, and every future event is ≥ gap beyond it),
  * so the emitted session log equals the batch session set exactly, for any
  * slice count. A sentinel event at max(ts) + gap + watermark + margin
- * arrives last to push the watermark past every real session's end; the
- * sentinel's own session has nothing behind it to close it, so it never
- * reaches the log (and is filtered defensively anyway).
+ * arrives last to push the watermark past every real session's end; its
+ * user id is DATA-DERIVED (max(user_id) + 1 — no reserved value stolen
+ * from the key domain, so negative or any other user ids sessionize
+ * identically to batch), its session has nothing behind it to close it so
+ * it never reaches the log, and it is filtered defensively anyway.
  *
  * Scale: session state is per-user open sessions only (closed sessions are
  * evicted by the watermark — bounded state on an unbounded firehose); the
@@ -53,7 +53,7 @@ object StreamSessionize {
   /** Stream the staged arrivals through session_window and return the
     * per-session log as a DataFrame (user_id, n_events, dur_us). */
   private def runStream(spark: SparkSession, root: String,
-      schema: StructType): DataFrame = {
+      schema: StructType, sentinelUser: Long): DataFrame = {
     val sessions = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$root/in")
@@ -77,7 +77,7 @@ object StreamSessionize {
       StructField("user_id", LongType), StructField("n_events", LongType),
       StructField("dur_us", LongType)))
     spark.read.schema(logSchema).parquet(s"$root/sessions")
-      .filter(col("user_id") >= 0L)
+      .filter(col("user_id") =!= sentinelUser)
   }
 
   /** The streaming session log over `ev` (user_id, event_id, ts, tus) via
@@ -85,21 +85,27 @@ object StreamSessionize {
     * boundary-straddle fixtures. */
   private[graft] def sessionLog(spark: SparkSession, ev: DataFrame,
       slices: Int = Slices): DataFrame = {
-    val root = Files.createTempDirectory("graft-q75-").toString
+    val root = SliceReplay.freshRoot("q75")
     val staged = ev.select(col("user_id").cast("long"),
       col("event_id").cast("long"), col("ts").cast("timestamp").as("ts"),
       col("tus").cast("long"))
-    // sentinel: one far-future event advancing the watermark past every
-    // real session end (its own session can never close, so it never
-    // reaches the log)
-    val maxTus = staged.agg(max(col("tus"))).head().getLong(0)
+    // ONE bounds pass feeds both the slice ranges and the sentinel: a
+    // far-future event advancing the watermark past every real session
+    // end (its own session can never close, so it never reaches the log),
+    // owned by the data-derived user max(user_id) + 1
+    val b = staged.agg(min(col("tus")), max(col("tus")),
+      max(col("user_id"))).head()
+    val (minTus, maxTus, sentinelUser) =
+      (b.getLong(0), b.getLong(1), b.getLong(2) + 1L)
     val sentinelTus = maxTus + Sessionize.GapUs + WatermarkUs + 7200000000L
     import spark.implicits._
-    val sentinel = Seq((-1L, -1L, sentinelTus)).toDF("user_id", "event_id", "tus")
+    val sentinel = Seq((sentinelUser, -1L, sentinelTus))
+      .toDF("user_id", "event_id", "tus")
       .select(col("user_id"), col("event_id"),
         timestamp_micros(col("tus")).as("ts"), col("tus"))
-    val schema = SliceReplay.stage(spark, staged, slices, root, Some(sentinel))
-    runStream(spark, root, schema)
+    val schema = SliceReplay.stage(spark, staged, slices, root,
+      Some(sentinel), Some((minTus, maxTus)))
+    runStream(spark, root, schema, sentinelUser)
   }
 
   /** q75: global session statistics — identical output contract (and

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.agg.SketchFunctions._
@@ -43,7 +41,7 @@ object StreamSketch {
     * identical output contract (and oracle string) to q02. */
   def streamTopKUsers(spark: SparkSession, sfDir: String,
       slices: Int = Slices): DataFrame = {
-    val root = Files.createTempDirectory("graft-q78-").toString
+    val root = SliceReplay.freshRoot("q78")
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id").cast("string").as("k"),
         unix_micros(col("ts").cast("timestamp")).as("tus"))

@@ -20,8 +20,9 @@ class HardNegativesSpec extends SparkTestBase {
     val base = Tables.embeddings(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0),
         r.getSeq[Float](1).toArray, r.getInt(2)))
+    val off = AnnQueries.DupIdOffset
     val emb = base ++ base.filter(_._1 < 3)
-      .map { case (id, v, l) => (id + 100000L, v, (l + 1) % 10) }
+      .map { case (id, v, l) => (id + off, v, (l + 1) % 10) }
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
@@ -55,7 +56,7 @@ class HardNegativesSpec extends SparkTestBase {
     val byQuery = rows.groupBy(_._1)
     for (q <- 0L until 3L) {
       assert(byQuery(q).forall(_._7 === 1L), s"query $q fn_suspects")
-      assert(!byQuery(q).exists(_._3 === 100000L + q),
+      assert(!byQuery(q).exists(_._3 === AnnQueries.DupIdOffset + q),
         s"query $q mined its own planted twin as a negative")
     }
     assert((3L until 20L).forall(q => byQuery(q).forall(_._7 === 0L)))
@@ -67,8 +68,8 @@ class HardNegativesSpec extends SparkTestBase {
     val qlab = (0L until 20L).map(q => q -> labels(q)).toMap
     rows.foreach { case (q, _, nid, sim, _, _, _) =>
       assert(sim < 900000L)
-      val nlab =
-        if (nid >= 100000L) (labels(nid - 100000L) + 1) % 10 else labels(nid)
+      val nlab = if (nid >= AnnQueries.DupIdOffset)
+        (labels(nid - AnnQueries.DupIdOffset) + 1) % 10 else labels(nid)
       assert(nlab !== qlab(q), s"same-label neighbor $nid mined for query $q")
     }
   }

@@ -78,11 +78,16 @@ class StreamSessionizeSpec extends SparkTestBase {
     assert(StreamSessionize.lastRunStateRows > 0L, "no state rows updated")
   }
 
-  test("sentinel never reaches the session log") {
+  test("sentinel never reaches the log; negative user ids are NOT stolen for it") {
+    // the sentinel user is data-derived (max(user_id) + 1), so a negative
+    // user id — valid for batch q54 and the shared oracle — must
+    // sessionize identically through the streaming path
     val h = 3600000000L
     val log = StreamSessionize.sessionLog(spark,
-      ev((7L, 1L, 0L), (7L, 2L, 9L * h)), slices = 2)
-      .select(col("user_id")).as[Long].collect().toSeq
-    assert(log.forall(_ >= 0L) && log.nonEmpty)
+      ev((7L, 1L, 0L), (7L, 2L, 9L * h),
+        (-5L, 3L, 0L), (-5L, 4L, 9L * h)), slices = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // four 1-event sessions (two per user), sentinel (user 8) absent
+    assert(log === Seq((-5L, 1L), (-5L, 1L), (7L, 1L), (7L, 1L)))
   }
 }
