@@ -116,7 +116,10 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("cosine_micro"),
       new ExpressionInfo(classOf[graft.agg.CosineMicro].getName, "cosine_micro"),
-      graft.agg.VectorExpressions.cosineMicroBuilder))
+      graft.agg.VectorExpressions.cosineMicroBuilder),
+    (FunctionIdentifier("dot_range"),
+      new ExpressionInfo(classOf[graft.agg.DotRange].getName, "dot_range"),
+      graft.agg.VectorExpressions.dotRangeBuilder))
 
   /** Register the same functions into an already-running session, plus the
     * full udaf build surface via [[graft.agg.SketchFunctions.register]]

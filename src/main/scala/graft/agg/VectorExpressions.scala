@@ -106,6 +106,104 @@ case class CosineMicro(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * `dot_range(a, b, start, len)` — the dot product of `slice(a, start, len)`
+ * and `slice(b, start, len)` as DOUBLE, in one fused pass with no slice
+ * materialization and no zip_with array. `start` is 1-based and `len` may
+ * exceed the array length (slice semantics: take what exists), so
+ * `dot_range(a, b, 1, Int.MaxValue)` is the full dot. Exactly replicates
+ * the HOF formula's IEEE behavior: same per-element double widening, same
+ * left-to-right accumulation, NULL when the two (sliced) lengths differ
+ * (zip_with padding) or any touched element is null.
+ *
+ * This is the q25 pair-kernel primitive: the Cauchy–Schwarz prefix bound
+ * evaluates `dot(slice(vl,1,16), slice(vr,1,16))` per CANDIDATE pair and
+ * the survivors evaluate the full dot — both previously allocated slice +
+ * zip_with arrays per pair, the dominant cost in the quadratic-by-design
+ * tiled exact join (28 s at the 10× corpus).
+ */
+case class DotRange(left: Expression, right: Expression, start: Int, len: Int)
+    extends BinaryExpression {
+
+  require(start >= 1, "dot_range: start is 1-based")
+  require(len >= 0, "dot_range: len must be >= 0")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_range"
+
+  @transient private lazy val leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "dot_range expects (ARRAY<FLOAT|DOUBLE>, ARRAY<FLOAT|DOUBLE>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  // slice length of an n-element array for (start, len), clamped at 0
+  private def sliceLen(n: Int): Int =
+    math.max(0, math.min(len.toLong, n.toLong - (start - 1)).toInt)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val la = sliceLen(a.numElements()); val lb = sliceLen(b.numElements())
+    if (la != lb) return null
+    val fa = leftIsFloat; val fb = rightIsFloat
+    var dot = 0.0; var i = start - 1; val end = start - 1 + la
+    while (i < end) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val end = ctx.freshName("end")
+      val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
+      val dot = ctx.freshName("dot")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val getA = if (leftIsFloat) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val getB = if (rightIsFloat) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
+      val s0 = start - 1
+      s"""
+         |final int $la = (int) Math.max(0L, Math.min((long) $len, (long) $a.numElements() - $s0));
+         |final int $lb = (int) Math.max(0L, Math.min((long) $len, (long) $b.numElements() - $s0));
+         |if ($la != $lb) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  final int $end = $s0 + $la;
+         |  for (int $i = $s0; $i < $end; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $x = $getA;
+         |    final double $y = $getB;
+         |    $dot += $x * $y;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotRange =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** The ONE cosine_micro builder — shared by [[register]] and
     * `GraftExtensions.functionDescriptions` so the two registration
@@ -115,10 +213,29 @@ object VectorExpressions {
     CosineMicro(exprs.head, exprs(1))
   }
 
+  /** The ONE dot_range builder (start/len fold from literal args). */
+  val dotRangeBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 4,
+      "usage: dot_range(vec_a, vec_b, start, len) with literal start/len")
+    def foldInt(e: Expression, name: String): Int = {
+      require(e.foldable, s"dot_range: $name must be a literal")
+      e.eval() match {
+        case n: java.lang.Number => n.intValue()
+        case other =>
+          throw new IllegalArgumentException(s"dot_range: $name not numeric: $other")
+      }
+    }
+    DotRange(exprs.head, exprs(1),
+      foldInt(exprs(2), "start"), foldInt(exprs(3), "len"))
+  }
+
   /** Idempotent session registration (the NativeCountMinAgg.register
     * pattern) — query builders call this before constructing plans that
-    * use `call_function("cosine_micro", ...)`. */
-  def register(spark: SparkSession): Unit =
+    * use `call_function("cosine_micro"/"dot_range", ...)`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_micro", cosineMicroBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_range", dotRangeBuilder, "built-in")
+  }
 }

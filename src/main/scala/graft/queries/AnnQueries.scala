@@ -56,6 +56,16 @@ object AnnQueries {
     call_function("cosine_micro", a, b)
   }
 
+  /** `dot(slice(a,start,len), slice(b,start,len))` as the fused
+    * [[graft.agg.DotRange]] expression — no slice/zip_with materialization
+    * per pair; bit-identical to the HOF form (VectorExprSpec). The q25
+    * pair-kernel primitive (both the 16-dim prefix bound and the full
+    * dot, keeping the precomputed norms). */
+  private def dotRange(a: Column, b: Column, start: Int, len: Int): Column = {
+    graft.agg.VectorExpressions.register(SparkSession.active)
+    call_function("dot_range", a, b, lit(start), lit(len))
+  }
+
   /** q24: brute-force cosine top-10 neighbors for the 5 lowest-id query
     * vectors (excluding self-matches). */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -122,7 +132,7 @@ object AnnQueries {
       .select(col("label"), col("i"), col("g").as("j"),
         col("vec_id").as("idr"), col("embedding").as("vr"),
         col("nrm").as("nr"), col("sufnrm").as("sr"))
-    val pdot = dot(slice(col("vl"), 1, PrefixDims), slice(col("vr"), 1, PrefixDims))
+    val pdot = dotRange(col("vl"), col("vr"), 1, PrefixDims)
     left.join(right, Seq("label", "i", "j"))
       // same-group tiles produce both orientations + self-pairs; id order dedups
       .filter((col("i") < col("j") && col("idl") =!= col("idr")) ||
@@ -131,7 +141,8 @@ object AnnQueries {
       .filter((pdot + col("sl") * col("sr")) / (col("nl") * col("nr")) >= 0.35 - 1e-6)
       .select(least(col("idl"), col("idr")).as("id_a"),
         greatest(col("idl"), col("idr")).as("id_b"),
-        floor(dot(col("vl"), col("vr")) / (col("nl") * col("nr")) * 1000000.0)
+        floor(dotRange(col("vl"), col("vr"), 1, Int.MaxValue)
+          / (col("nl") * col("nr")) * 1000000.0)
           .cast("long").as("sim_micro"))
       .filter(col("sim_micro") >= 350000L)
       .orderBy(col("id_a"), col("id_b"))

@@ -30,6 +30,7 @@ object ScaleDecade {
   private val Family: Seq[String] = {
     val all = Seq(
       "q18_ngram_jaccard",
+      "q25_cosine_neardup",
       "q55_ngram_jaccard_prefix",
       "q37_dedup_clusters",
       "q61_dedup_clusters_star",

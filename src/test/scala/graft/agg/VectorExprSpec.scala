@@ -76,6 +76,45 @@ class VectorExprSpec extends SparkTestBase {
     assert(folded === viaRow)
   }
 
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("dot_range == dot(slice, slice) bit-exactly: prefix, full, short arrays") {
+    val rng = new scala.util.Random(11)
+    def vec(d: Int) = Array.fill(d)((rng.nextFloat() - 0.5f) * 100f)
+    val rows = (1 to 300).map(_ => (vec(64), vec(64))) ++
+      (1 to 50).map(_ => (vec(3), vec(3))) // shorter than the 16-dim prefix
+    val df = rows.toDF("a", "b").select(
+      hofDot(slice(col("a"), 1, 16), slice(col("b"), 1, 16)).as("hof_pre"),
+      call_function("dot_range", col("a"), col("b"), lit(1), lit(16)).as("nat_pre"),
+      hofDot(col("a"), col("b")).as("hof_full"),
+      call_function("dot_range", col("a"), col("b"), lit(1),
+        lit(Int.MaxValue)).as("nat_full"))
+    assert(df.filter(col("hof_pre") =!= col("nat_pre")).count() === 0)
+    assert(df.filter(col("hof_full") =!= col("nat_full")).count() === 0)
+  }
+
+  test("dot_range null contract matches slice+zip_with semantics") {
+    val df = Seq(
+      // null element INSIDE the range -> null
+      (Some(Seq(Some(1f), None, Some(3f))), Some(Seq(Some(1f), Some(2f), Some(3f))), 1, 3),
+      // null element OUTSIDE the range -> untouched, non-null
+      (Some(Seq(Some(1f), Some(2f), None)), Some(Seq(Some(1f), Some(2f), Some(3f))), 1, 2),
+      // sliced lengths differ -> null (zip_with padding)
+      (Some(Seq(Some(1f))), Some(Seq(Some(1f), Some(2f))), 1, 2)
+    ).toDF("a", "b", "s", "l")
+    val vals = df.collect().map { r =>
+      df.sparkSession.range(1).select(call_function("dot_range",
+        typedLit(r.getSeq[Any](0)).cast("array<float>"),
+        typedLit(r.getSeq[Any](1)).cast("array<float>"),
+        lit(r.getInt(2)), lit(r.getInt(3)))).head()
+    }
+    assert(vals(0).isNullAt(0))
+    assert(!vals(1).isNullAt(0) && vals(1).getDouble(0) === 5.0)
+    assert(vals(2).isNullAt(0))
+  }
+
   test("analysis-time type error on non-array input") {
     val ex = intercept[Exception] {
       Seq((1, 2)).toDF("a", "b")
