@@ -119,7 +119,11 @@ object GraftExtensions {
       graft.agg.VectorExpressions.cosineMicroBuilder),
     (FunctionIdentifier("dot_range"),
       new ExpressionInfo(classOf[graft.agg.DotRange].getName, "dot_range"),
-      graft.agg.VectorExpressions.dotRangeBuilder))
+      graft.agg.VectorExpressions.dotRangeBuilder),
+    (FunctionIdentifier("intersect_count_sorted"),
+      new ExpressionInfo(classOf[graft.agg.IntersectCountSorted].getName,
+        "intersect_count_sorted"),
+      graft.agg.VectorExpressions.intersectCountBuilder))
 
   /** Register the same functions into an already-running session, plus the
     * full udaf build surface via [[graft.agg.SketchFunctions.register]]

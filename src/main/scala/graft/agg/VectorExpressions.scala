@@ -204,6 +204,82 @@ case class DotRange(left: Expression, right: Expression, start: Int, len: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * `intersect_count_sorted(a, b)` — |a ∩ b| for two SORTED-ASCENDING,
+ * DISTINCT ARRAY<BIGINT> columns as one fused two-pointer merge loop: no
+ * per-pair hash set, no intersection array materialized (Spark's
+ * `size(array_intersect(a, b))` builds both per invocation). The count of
+ * distinct common elements is order-independent, so sorting the per-doc
+ * arrays ONCE at build time and swapping this in for the per-PAIR
+ * `array_intersect` is value-identical (VectorExprSpec pins equality
+ * against the built-in on adversarial inputs).
+ *
+ * CONTRACT (the `_sorted` suffix is the warning): inputs must be sorted
+ * ascending with distinct elements — an unsorted input silently
+ * undercounts. Both swap sites (the Jaccard verify kernels) sort at the
+ * per-doc set build, where it costs O(n log n) once instead of O(pairs).
+ * A null ELEMENT returns null (the set builders hash non-null strings, so
+ * the case is unreachable at the swap sites).
+ */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "intersect_count_sorted"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "intersect_count_sorted expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $c; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** The ONE cosine_micro builder — shared by [[register]] and
     * `GraftExtensions.functionDescriptions` so the two registration
@@ -229,13 +305,21 @@ object VectorExpressions {
       foldInt(exprs(2), "start"), foldInt(exprs(3), "len"))
   }
 
+  /** The ONE intersect_count_sorted builder. */
+  val intersectCountBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "usage: intersect_count_sorted(arr_a, arr_b)")
+    IntersectCountSorted(exprs.head, exprs(1))
+  }
+
   /** Idempotent session registration (the NativeCountMinAgg.register
     * pattern) — query builders call this before constructing plans that
-    * use `call_function("cosine_micro"/"dot_range", ...)`. */
+    * use `call_function("cosine_micro"/"dot_range"/..., ...)`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_micro", cosineMicroBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_range", dotRangeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_count_sorted", intersectCountBuilder, "built-in")
   }
 }

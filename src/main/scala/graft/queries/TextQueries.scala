@@ -40,6 +40,17 @@ object TextQueries {
 
   private val ShingleHashSeed = 0x51a9e1eL
 
+  /** |a ∩ b| over SORTED-distinct long arrays as the fused
+    * [[graft.agg.IntersectCountSorted]] merge loop — value-identical to
+    * `size(array_intersect(a, b))` on distinct inputs (count is
+    * order-free; VectorExprSpec), with no per-pair hash set or
+    * intersection array. Both set builders below sort ONCE per doc. */
+  private def interCountSorted(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.agg.VectorExpressions.register(SparkSession.active)
+    call_function("intersect_count_sorted", a, b)
+  }
+
   /** Docs with (id, minhash band hashes, xxhash64'd shingle set) — one
     * tokenize+shingle pass per document. The hashed shingle sets ride along
     * so the exact-verify stage intersects long arrays instead of
@@ -52,6 +63,7 @@ object TextQueries {
       var i = 0
       val it = sh.iterator
       while (it.hasNext) { hashes(i) = XxHash64.hashString(it.next(), ShingleHashSeed); i += 1 }
+      java.util.Arrays.sort(hashes) // intersect_count_sorted precondition
       (MinHash.bandHashes(MinHash.signature(sh, MinhashK), Bands, RowsPerBand), hashes)
     })
     // persisted: the plan references the signature table from THREE branches
@@ -93,7 +105,7 @@ object TextQueries {
     candidateIds
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", interCountSorted(col("sh_a"), col("sh_b")))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard_micro",
         floor(col("inter").cast("double") / col("uni").cast("double") * 1000000.0).cast("long"))
@@ -179,8 +191,8 @@ object TextQueries {
   private def bigramDocs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        array_distinct(transform(wordBigrams(split(col("text"), " ")),
-          b => xxhash64(b))).as("bigrams"))
+        sort_array(array_distinct(transform(wordBigrams(split(col("text"), " ")),
+          b => xxhash64(b)))).as("bigrams"))
       .withColumn("n", size(col("bigrams")))
 
   /** Tiling groups for the low-threshold blocked path (and the number of
@@ -205,16 +217,24 @@ object TextQueries {
     * prefix path's passes grow ~B·log B plus candidate volume in the
     * rare-token tail. Round 4 extrapolated the crossover from the B = 250
     * point alone (and mislabeled it B = 2500, inflating the estimate to
-    * 8192); round 5's decade corpus measured B = 1000 and B = 2500
-    * DIRECTLY: prefix wins both (3.66 s vs 4.95 s at B = 1000; 21.8 s vs
-    * 33.3 s at B = 2500, answer sizes 8–400 pairs — algorithm work, not
-    * output). The three-point tiled/prefix ratio curve (0.63× at B = 250,
-    * 1.35× at B = 1000, 1.53× at B = 2500) crosses 1 at B* ≈ 580, rounded
-    * to 512 — and the penalty for misdispatch near B* is by construction
-    * ~1× (the paths tie there). Callers with measured knowledge can force
-    * either path via [[ngramJaccardPath]]; results are identical
-    * (JaccardJoinSpec). */
-  private val PrefixMinAvgBlockDocs = 512L
+    * 8192); the round-5 decade corpus measured B = 1000 and B = 2500
+    * directly with the HOF verify kernel: prefix won both, ratio curve
+    * crossing 1 at B* ≈ 580 → constant 512. The `intersect_count_sorted`
+    * fused verify (late round 5) then RE-MOVED the crossover: with the
+    * per-pair hash-set/array allocation gone, the re-measured t = 0.3
+    * cells read tiled 2.67 s vs prefix 2.98 s at B = 1000 and 11.35 s vs
+    * 12.76 s at B = 2500 — tiled ahead by a flat ~1.12× at both decades,
+    * because the integer size-ratio prune keeps the Ω(B²) term's constant
+    * tiny and both paths now share the same cheap merge-loop verify on the
+    * same surviving pairs. The B = 10000 cell is NOT measurable in this
+    * sandbox (both candidate stages spill past the ~60 GB free disk);
+    * extrapolating the B² candidate term against prefix's B·log B from
+    * the measured flat ratio puts the crossover ≳ 4k, so the constant sits
+    * at 4096 — and misdispatch near B* still costs ~1× (the measured
+    * paths run within 12% of each other across 1000–2500). Callers with
+    * measured knowledge can force either path via [[ngramJaccardPath]];
+    * results are identical (JaccardJoinSpec). */
+  private val PrefixMinAvgBlockDocs = 4096L
 
   /** Broadcast ceiling for the prefix path's df>1 vocabulary join, in
     * ENTRIES (each a hashed-long bigram + long df; a broadcast
@@ -292,7 +312,7 @@ object TextQueries {
   /** Jaccard verify + threshold over carried bigram arrays `bg_a`/`bg_b`. */
   private def jaccardVerify(pairs: DataFrame, tMicro: Long): DataFrame =
     pairs
-      .withColumn("inter", size(array_intersect(col("bg_a"), col("bg_b"))))
+      .withColumn("inter", interCountSorted(col("bg_a"), col("bg_b")))
       .withColumn("uni", size(col("bg_a")) + size(col("bg_b")) - col("inter"))
       .withColumn("jaccard_micro",
         floor(col("inter").cast("double") / col("uni").cast("double") * 1000000.0).cast("long"))

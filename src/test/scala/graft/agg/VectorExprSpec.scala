@@ -115,6 +115,21 @@ class VectorExprSpec extends SparkTestBase {
     assert(vals(2).isNullAt(0))
   }
 
+  test("intersect_count_sorted == size(array_intersect) on sorted distinct arrays") {
+    val rng = new scala.util.Random(23)
+    def set(n: Int, universe: Long) =
+      Seq.fill(n)(rng.nextLong().abs % universe).distinct.sorted.toArray
+    val rows = (1 to 400).map { _ =>
+      // small universe -> dense overlap; large -> sparse; empties included
+      val u = if (rng.nextBoolean()) 50L else 1000000L
+      (set(rng.nextInt(40), u), set(rng.nextInt(40), u))
+    } :+ (Array.empty[Long], Array(1L, 2L)) :+ (Array.empty[Long], Array.empty[Long])
+    val df = rows.toDF("a", "b").select(
+      size(array_intersect(col("a"), col("b"))).as("builtin"),
+      call_function("intersect_count_sorted", col("a"), col("b")).as("native"))
+    assert(df.filter(col("builtin") =!= col("native")).count() === 0)
+  }
+
   test("analysis-time type error on non-array input") {
     val ex = intercept[Exception] {
       Seq((1, 2)).toDF("a", "b")
