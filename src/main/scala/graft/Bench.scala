@@ -85,6 +85,8 @@ object Bench {
         spark.sql("SELECT hll_sketch_fast(token) FROM bench_corpus_v").head()),
       "kll_build" -> (() =>
         corpus.agg(kll_sketch(col("weight").cast("double"), k = 200)).head()),
+      "tdigest_build" -> (() =>
+        corpus.agg(tdigest_sketch(col("weight").cast("double"))).head()),
       // platform baseline: pure whole-stage-codegen scan+hash aggregate over
       // the same cache - zero sketch code; what the VM's Spark pipeline can do
       "scan_baseline" -> (() =>
@@ -145,7 +147,20 @@ object Bench {
     // inherits another's.
     val gateCycles =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_GATE_CYCLES", "3").toInt)
-    val gate = SparkEntry.queries.toSeq.sortBy(_._1)
+    // q00_scan: a zero-sketch pure-codegen scan+hash over the gate's own sf
+    // directory, timed INSIDE the interleaved gate cycle at the same cadence
+    // as the real queries (VERDICT r5 "what's wrong" #1). It is the
+    // per-query twin of the throughput block's scan_baseline: a VM load
+    // burst moves q00_scan and its in-window neighbors together, so any
+    // BENCH_r{N} query time can be read relative to what the box could do
+    // in THAT window (qNN / q00 ratios are round-comparable; absolutes are
+    // not). Excluded from total_query_sec — it is an anchor, not workload.
+    val scanAnchor: (SparkSession, String) => DataFrame = (s, dir) =>
+      graft.queries.Tables.lineitem(s, dir).agg(
+        expr("bit_xor(xxhash64(l_orderkey, l_partkey, l_suppkey, l_quantity))")
+          .as("scan_fingerprint"))
+    val gate = ("q00_scan" -> scanAnchor) +:
+      SparkEntry.queries.toSeq.sortBy(_._1)
     def runOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val (ok, sec) = time {
         try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
@@ -166,7 +181,8 @@ object Bench {
     }
     val queryTimes = gate.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     val failed = queryTimes.collect { case (k, v) if v < 0 => k }
-    val total = queryTimes.collect { case (_, v) if v >= 0 => v }.sum
+    val total = queryTimes
+      .collect { case (k, v) if v >= 0 && k != "q00_scan" => v }.sum
     val extras = corpusStats.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

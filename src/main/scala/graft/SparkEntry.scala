@@ -195,7 +195,21 @@ object SparkEntry {
     // Streaming micro-batches (complete mode, monoid state merge) —
     // identical output contract to q02, whose oracle it shares verbatim.
     "q78_stream_topk" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamSketch.streamTopKUsers(s, d))
+      graft.streaming.StreamSketch.streamTopKUsers(s, d)),
+    // q79: the q15 exact-dedup census run THROUGH Structured Streaming —
+    // dropDuplicatesWithinWatermark survivor log (bounded keyed state) +
+    // complete-mode per-hash counts; shares q15's oracle verbatim (the
+    // q57/q58 twin discipline), closing the streaming triad: stateful
+    // window (q75), monoid sketch (q78), bounded-state dedup (q79).
+    "q79_stream_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamDedup.streamDedupCensus(s, d)),
+    // q80: incremental corpus-delta dedup — a new snapshot deduplicated
+    // against the existing corpus WITHOUT rescanning the base text:
+    // prebuilt content-hash Bloom (broadcast prefilter, no false negatives)
+    // + hash-only bucketed index read in touched buckets only; planted
+    // cross-snapshot duplicates, full value oracle over base ∪ delta, and
+    // a pruned-vs-full parity verdict (the incremental path is exact).
+    "q80_incremental_dedup" -> IncrementalDedup.incrementalDedupGate _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -204,11 +218,13 @@ object SparkEntry {
     * PLUS a parity/audit verdict the Spark side can only produce as 1 when
     * its two independent plans agree (blocked join vs tiled brute force,
     * kernel vs published invariant, IVF vs exact top-k) — the oracle
-    * mirrors the verdict as a constant. The one remaining rows-only entry
-    * is q32: CountMax is order-sensitive single-stream parity against the
-    * reference's hand-traced fixture — any SQL twin would have to replay
-    * the same stream order, i.e. be the same computation, so a twin is
-    * genuinely meaningless there; FrequentItemsSpec covers it. */
+    * mirrors the verdict as a constant. q32 joined that discipline in
+    * round 6: the CountMax kernel is order-sensitive single-stream (a SQL
+    * twin would have to replay the same stream order, i.e. be the same
+    * computation), so its gate emits the DuckDB-derivable exact top-20
+    * plus the algorithm-contract verdicts (one-sided underestimate,
+    * reversibility residency); kernel parity stays hand-traced in
+    * FrequentItemsSpec. */
   /** q54/q57 and q52/q58 share ONE oracle string: the salted twins are
     * row-identical to the unsalted operators by construction, and binding
     * the SQL once makes that sharing structural — an edit to the operator
@@ -219,6 +235,16 @@ object SparkEntry {
   private val TopKUsersOracleSql: String =
     """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count
       |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin
+
+  /** q15/q79 share ONE oracle string: the streamed dedup census is
+    * value-identical to the batch census (see the q79 scaladoc), and
+    * binding the SQL once makes that sharing structural. */
+  private val DedupExactOracleSql: String =
+    """WITH g AS (SELECT text, count(*) AS c FROM documents GROUP BY text)
+      |SELECT cast(sum(c) AS bigint) AS n_docs, count(*) AS distinct_texts,
+      |  cast(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS bigint) AS dup_groups,
+      |  cast(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS bigint) AS dup_rows
+      |FROM g""".stripMargin
 
   private val SessionizeOracleSql: String =
     """WITH e AS (
@@ -445,12 +471,35 @@ object SparkEntry {
         |  FROM lineitem JOIN topo ON l_orderkey = o_orderkey GROUP BY 1)
         |SELECT l_suppkey, load FROM loads ORDER BY load DESC, l_suppkey LIMIT 10""".stripMargin,
 
-    "q15_dedup_exact" ->
-      """WITH g AS (SELECT text, count(*) AS c FROM documents GROUP BY text)
-        |SELECT cast(sum(c) AS bigint) AS n_docs, count(*) AS distinct_texts,
-        |  cast(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS bigint) AS dup_groups,
-        |  cast(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS bigint) AS dup_rows
-        |FROM g""".stripMargin,
+    "q15_dedup_exact" -> DedupExactOracleSql,
+
+    // q79: the streamed dedup census is value-identical to q15's batch
+    // census (survivor count = distinct hashes for any arrival order;
+    // monoid counts = batch counts for any slicing), so it binds the SAME
+    // oracle string — DuckDB pins the streaming dedup path end-to-end.
+    "q79_stream_dedup" -> DedupExactOracleSql,
+
+    // q80: the oracle re-derives the delta snapshot (newest source block +
+    // the planted every-50th-base-doc cross-snapshot duplicates) and the
+    // exact membership census from base ∪ delta; the pruned-vs-full parity
+    // verdict is asserted as a constant (Bloom has no false negatives and
+    // candidate-bucket pruning cannot lose a candidate).
+    "q80_incremental_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src19'),
+        |delta AS (
+        |  SELECT cast(doc_id AS bigint) AS doc_id, text FROM documents
+        |  WHERE source = 'src19'
+        |  UNION ALL
+        |  SELECT cast(doc_id AS bigint) + 5000000, text FROM base
+        |  WHERE doc_id % 50 = 0),
+        |conf AS (
+        |  SELECT count(*) AS c FROM delta
+        |  WHERE text IN (SELECT text FROM base))
+        |SELECT (SELECT count(*) FROM delta) AS n_delta,
+        |  (SELECT c FROM conf) AS confirmed_dups,
+        |  (SELECT count(*) FROM delta) - (SELECT c FROM conf) AS new_docs,
+        |  cast(1 AS bigint) AS parity_ok""".stripMargin,
 
     "q16_dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -624,6 +673,15 @@ object SparkEntry {
       """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count,
         | cast(0 AS bigint) AS err_bound
         |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin,
+
+    // q32: the CountMax audit twin — the oracle re-derives the exact
+    // top-20 and asserts the two algorithm-contract verdicts as constants
+    // (one-sided underestimate; heavy hitters resident via GetAllKeys).
+    // The kernel itself is order-sensitive and stays spec-traced.
+    "q32_countmax_parity" ->
+      """SELECT cast(user_id AS varchar) AS user_id, count(*) AS exact_count,
+        | true AS est_le_exact, true AS candidate_hit
+        |FROM events GROUP BY 1 ORDER BY exact_count DESC, user_id LIMIT 20""".stripMargin,
 
     "q40_bound_audit" -> {
       // same ε-effective constant the Spark side computes; Double.toString

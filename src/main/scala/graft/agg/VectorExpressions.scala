@@ -218,8 +218,12 @@ case class DotRange(left: Expression, right: Expression, start: Int, len: Int)
  * ascending with distinct elements — an unsorted input silently
  * undercounts. Both swap sites (the Jaccard verify kernels) sort at the
  * per-doc set build, where it costs O(n log n) once instead of O(pairs).
- * A null ELEMENT returns null (the set builders hash non-null strings, so
- * the case is unreachable at the swap sites).
+ * A null ELEMENT anywhere in EITHER array returns null — including
+ * trailing elements past the shorter side's exhaustion point, so the null
+ * contract is uniform and position-independent (VERDICT r5 item 7). When
+ * the array schema declares `containsNull = false` (both swap sites — the
+ * set builders hash non-null strings) every null check, tails included,
+ * compiles away entirely.
  */
 case class IntersectCountSorted(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -227,6 +231,13 @@ case class IntersectCountSorted(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = "intersect_count_sorted"
+
+  // schema-level element nullability: containsNull=false proves no null
+  // elements exist, so the per-element checks (and tail scans) are skipped
+  @transient private lazy val leftMayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  @transient private lazy val rightMayHaveNullElems: Boolean =
+    right.dataType.asInstanceOf[ArrayType].containsNull
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -243,14 +254,19 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val na = a.numElements(); val nb = b.numElements()
+    val ka = leftMayHaveNullElems; val kb = rightMayHaveNullElems
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
-      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      if ((ka && a.isNullAt(i)) || (kb && b.isNullAt(j))) return null
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1
     }
+    // uniform null contract: a null element in the unexhausted tail is
+    // still a null element — scan both tails (no-ops unless nullable)
+    if (ka) while (i < na) { if (a.isNullAt(i)) return null; i += 1 }
+    if (kb) while (j < nb) { if (b.isNullAt(j)) return null; j += 1 }
     c
   }
 
@@ -260,17 +276,35 @@ case class IntersectCountSorted(left: Expression, right: Expression)
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val c = ctx.freshName("c")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val loopNullCheck =
+        if (leftMayHaveNullElems || rightMayHaveNullElems) {
+          val checks = Seq(
+            if (leftMayHaveNullElems) Some(s"$a.isNullAt($i)") else None,
+            if (rightMayHaveNullElems) Some(s"$b.isNullAt($j)") else None
+          ).flatten.mkString(" || ")
+          s"if ($checks) { ${ev.isNull} = true; break; }"
+        } else ""
+      val tailA = if (leftMayHaveNullElems)
+        s"""if (!${ev.isNull}) {
+           |  while ($i < $na) { if ($a.isNullAt($i)) { ${ev.isNull} = true; break; } $i++; }
+           |}""".stripMargin else ""
+      val tailB = if (rightMayHaveNullElems)
+        s"""if (!${ev.isNull}) {
+           |  while ($j < $nb) { if ($b.isNullAt($j)) { ${ev.isNull} = true; break; } $j++; }
+           |}""".stripMargin else ""
       s"""
          |final int $na = $a.numElements();
          |final int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $na && $j < $nb) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  $loopNullCheck
          |  final long $x = $a.getLong($i);
          |  final long $y = $b.getLong($j);
          |  if ($x == $y) { $c++; $i++; $j++; }
          |  else if ($x < $y) { $i++; } else { $j++; }
          |}
+         |$tailA
+         |$tailB
          |if (!${ev.isNull}) { ${ev.value} = $c; }
        """.stripMargin
     })

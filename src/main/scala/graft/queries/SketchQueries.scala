@@ -207,22 +207,42 @@ object SketchQueries {
       .limit(20)
   }
 
-  /** q32: CountMax parity fixture — the reference's order-sensitive flagship
+  /** q32: CountMax audit twin — the reference's order-sensitive flagship
     * runs single-partition only (SURVEY.md §7.5: not mergeable, not the
-    * production HH path). Oracle-less; kernel parity is hand-traced in
-    * FrequentItemsSpec. */
+    * production HH path), so the KERNEL can't be SQL-mirrored; its accuracy
+    * CONTRACT can (the q17/q23/q26/q39 audit-twin discipline). Emit the
+    * exact top-20 users (DuckDB re-derives them from events) plus two
+    * in-plan verdicts the oracle asserts as constants:
+    *   - est_le_exact: CountMax point estimates are one-sided UNDERestimates
+    *     — a slot counter only ever holds the resident key's own votes minus
+    *     votes against (takeover sets it to v − old ≤ v), so query(k) ≤
+    *     true(k) for ANY stream order (the accuracy contract behind
+    *     /root/reference/Simulation/CountMax.cs:51-57);
+    *   - candidate_hit: reversibility — every true heavy hitter is resident
+    *     in some slot and enumerable via GetAllKeys
+    *     (/root/reference/Simulation/CountMax.cs:101-108; the ElephantCover
+    *     metric /root/reference/Simulator/Program.cs:715-722).
+    * Kernel parity itself stays hand-traced in FrequentItemsSpec. */
   def countMaxParity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
-      .select(col("user_id").cast("string").as("k"))
-      .as[String]
-    val topDf = ev.repartition(1).mapPartitions { it =>
+      .select(col("user_id").cast("string").as("user_id"))
+    // the order-sensitive single-stream build (cannot be a distributed agg)
+    val skBytes = ev.as[String].repartition(1).mapPartitions { it =>
       val cmx = graft.sketch.CountMax(2, 1024)
       it.foreach(k => cmx.update(k, 1L))
-      cmx.getAllKeys.toSeq.sortBy(k => (-cmx.query(k), k)).take(20)
-        .map(k => (k, cmx.query(k))).iterator
-    }.toDF("user_id", "est_count")
-    topDf.orderBy(desc("est_count"), asc("user_id"))
+      Iterator.single(cmx.serialize())
+    }.collect()(0) // ONE serialized-sketch row — the cm_probe bounded collect
+    val bc = spark.sparkContext
+      .broadcast(graft.sketch.CountMax.deserialize(skBytes))
+    val estOf = udf((k: String) => bc.value.query(k))
+    val residentIn = udf((k: String) => bc.value.getAllKeys.contains(k))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(desc("exact_count"), asc("user_id")).limit(20)
+      .select(col("user_id"), col("exact_count"),
+        (estOf(col("user_id")) <= col("exact_count")).as("est_le_exact"),
+        residentIn(col("user_id")).as("candidate_hit"))
+      .orderBy(desc("exact_count"), asc("user_id"))
   }
 
   /** q33: one KLL sketch per group — per-language n_chars quantiles

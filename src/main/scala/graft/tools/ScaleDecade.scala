@@ -46,7 +46,9 @@ object ScaleDecade {
       "q75_stream_sessions",
       "q76_mixture_weights",
       "q77_hard_negatives",
-      "q78_stream_topk")
+      "q78_stream_topk",
+      "q79_stream_dedup",
+      "q80_incremental_dedup")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

@@ -18,7 +18,7 @@ object SketchBuildProfile {
     Bench.sketchThroughput(spark, rows / 10, cpus.toInt) // burn-in
     val keys = Seq("cm_build", "cm_native_build", "topk_build",
       "topk_native_build", "hll_build", "hll_native_build", "kll_build",
-      "scan_baseline")
+      "tdigest_build", "scan_baseline")
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (r <- 1 to rounds) {
       val stats = Bench.sketchThroughput(spark, rows, cpus.toInt)

@@ -44,6 +44,21 @@ class QueriesSmokeSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q32 audit-twin verdicts hold at sf0.001") {
+    // est_le_exact is algorithm-guaranteed (one-sided underestimate) for
+    // any stream order; candidate_hit (heavy hitters resident via
+    // GetAllKeys) is the reversibility contract — pin both on real data
+    val rows = SparkEntry.queries("q32_countmax_parity")(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("est_le_exact"), r.toString)
+      assert(r.getAs[Boolean]("candidate_hit"), r.toString)
+      assert(r.getAs[Long]("exact_count") > 0L, r.toString)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q64 verdicts hold and its KLL genuinely compacts at the verify scale") {
     import org.apache.spark.sql.functions._
     import graft.agg.SketchFunctions._

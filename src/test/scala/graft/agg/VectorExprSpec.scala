@@ -130,6 +130,30 @@ class VectorExprSpec extends SparkTestBase {
     assert(df.filter(col("builtin") =!= col("native")).count() === 0)
   }
 
+  test("intersect_count_sorted null contract is position-uniform (tails included)") {
+    // Seq[Option[Long]] -> ARRAY<BIGINT> with containsNull=true, so the
+    // generated code keeps its null checks; the trailing-null case is the
+    // VERDICT r5 wobble: a null PAST the shorter side's exhaustion point
+    // must null the result exactly like a null inside the merge window
+    val df = Seq(
+      // null in the merge window -> null
+      (Seq[Option[Long]](Some(1L), None), Seq[Option[Long]](Some(1L), Some(2L))),
+      // null in the LONGER side's tail (left exhausts first) -> null
+      (Seq[Option[Long]](Some(1L), Some(2L)),
+        Seq[Option[Long]](Some(1L), Some(2L), None)),
+      // null in the LEFT tail (right exhausts first) -> null
+      (Seq[Option[Long]](Some(5L), Some(7L), None), Seq[Option[Long]](Some(5L))),
+      // no nulls, nullable schema -> plain count
+      (Seq[Option[Long]](Some(1L), Some(3L)), Seq[Option[Long]](Some(1L), Some(2L), Some(3L)))
+    ).toDF("a", "b")
+      .select(call_function("intersect_count_sorted", col("a"), col("b")).as("c"))
+    val out = df.collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0))
+    assert(!out(3).isNullAt(0) && out(3).getInt(0) === 2)
+  }
+
   test("analysis-time type error on non-array input") {
     val ex = intercept[Exception] {
       Seq((1, 2)).toDF("a", "b")
