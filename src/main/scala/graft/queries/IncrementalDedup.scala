@@ -64,16 +64,63 @@ object IncrementalDedup {
     root.toString
   }
 
-  /** One-time base preparation: content-hash Bloom + bucketed hash index.
-    * Returns the work dir. `expected` sizes the Bloom; fpp 1e-3 keeps the
-    * exact-verify residue at ~0.1% of non-duplicate delta rows. */
-  def prepareBase(spark: SparkSession, base: DataFrame, dir: String): Unit = {
+  /** One-time base preparation: content-hash Bloom + bucketed hash index
+    * (+ the Bloom's sizing as a meta row so [[commitDelta]] can build
+    * merge-compatible delta filters). fpp 1e-3 keeps the exact-verify
+    * residue at ~0.1% of non-duplicate delta rows. `headroom` oversizes
+    * the filter for future commits (the filter's fpp contract holds until
+    * itemsAdded reaches expected). */
+  def prepareBase(spark: SparkSession, base: DataFrame, dir: String,
+      headroom: Double = 4.0): Unit = {
+    val spark2 = spark
+    import spark2.implicits._
     val hashes = base.select(sha2(col("text"), 256).as("h"))
-    val expected = math.max(1024L, hashes.count())
-    hashes.agg(bloom_sketch(col("h"), expected, fpp = 1e-3).as("sk"))
+    val expected =
+      math.max(1024L, (hashes.count() * math.max(1.0, headroom)).toLong)
+    val fpp = 1e-3
+    Seq((expected, fpp)).toDF("expected", "fpp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    hashes.agg(bloom_sketch(col("h"), expected, fpp).as("sk"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/bloom")
     hashes.withColumn("b", bucketOf(col("h")))
       .write.mode("overwrite").partitionBy("b").parquet(s"$dir/index")
+  }
+
+  /** Admit an accepted delta into the base artifacts WITHOUT rebuilding —
+    * the write half of the incremental cycle (dedupDelta → filter →
+    * commitDelta → next snapshot sees this one's content): the delta's
+    * hashes build their own Bloom at the STORED sizing (same
+    * (expected, fpp) ⇒ same m/k/seed ⇒ the bitwise-OR merge is exact for
+    * membership), the two filters OR together on the driver (KB–MB), and
+    * the delta's hashes APPEND to the bucketed index (existing bucket
+    * directories gain part files; nothing rewrites). Cost: one |delta|
+    * map pass — never a base rescan.
+    *
+    * Returns the merged filter's expected FPP at its new fill: the Bloom's
+    * contract degrades as commits consume the prepareBase headroom, and
+    * the caller re-shards past its budget (the production discipline is
+    * one filter shard per committed snapshot with probe-all-shards —
+    * [[graft.data.SketchCheckpoint.mergeShards]]'s role; at gate scale
+    * one headroom-sized filter suffices and the returned fpp proves it). */
+  def commitDelta(spark: SparkSession, accepted: DataFrame, dir: String)
+      : Double = {
+    val spark2 = spark
+    import spark2.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val expected = meta.getAs[Long]("expected")
+    val fpp = meta.getAs[Double]("fpp")
+    val hashes = accepted.select(sha2(col("text"), 256).as("h"))
+    val deltaBytes = hashes
+      .agg(bloom_sketch(col("h"), expected, fpp).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val stored = graft.sketch.BloomFilter.deserialize(
+      spark.read.parquet(s"$dir/bloom").head().getAs[Array[Byte]](0))
+    val merged = stored.merge(graft.sketch.BloomFilter.deserialize(deltaBytes))
+    Seq(merged.serialize()).toDF("sk")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bloom")
+    hashes.withColumn("b", bucketOf(col("h")))
+      .write.mode("append").partitionBy("b").parquet(s"$dir/index")
+    merged.expectedFpp
   }
 
   /** The per-delta pass: (delta with doc_id/text) → (doc_id, h, is_dup).

@@ -226,15 +226,40 @@ object TextQueries {
     * 12.76 s at B = 2500 — tiled ahead by a flat ~1.12× at both decades,
     * because the integer size-ratio prune keeps the Ω(B²) term's constant
     * tiny and both paths now share the same cheap merge-loop verify on the
-    * same surviving pairs. The B = 10000 cell is NOT measurable in this
-    * sandbox (both candidate stages spill past the ~60 GB free disk);
-    * extrapolating the B² candidate term against prefix's B·log B from
-    * the measured flat ratio puts the crossover ≳ 4k, so the constant sits
-    * at 4096 — and misdispatch near B* still costs ~1× (the measured
-    * paths run within 12% of each other across 1000–2500). Callers with
-    * measured knowledge can force either path via [[ngramJaccardPath]];
-    * results are identical (JaccardJoinSpec). */
+    * same surviving pairs. Round 5 extrapolated the crossover ≳ 4k from
+    * that flat ratio; **round 6 MEASURED the B = 4000 and B = 6000 cells**
+    * (`tools/JaccardBigB`, one cell per JVM so spill can't accumulate):
+    * tiled 15.1 s vs prefix 62.7 s at B = 4000 and 28.4 s vs 223.4 s at
+    * B = 6000 — tiled ahead 4.2× and 7.9×, prefix growing ~B³ while tiled
+    * tracks its stated B². The reason is VOCABULARY DENSITY, not block
+    * size: this corpus family draws from ≤961 possible bigrams, so every
+    * prefix posting list's df grows ∝ B and the prefix candidate volume
+    * Σ df² grows ∝ B² with a LARGER constant than tiled's size-pruned
+    * B²/2 (plus the distinct + re-join passes). Prefix filtering pays
+    * exactly when posting lists are SELECTIVE — the rare-token tail of a
+    * realistic open vocabulary — so the block-size arm alone is the wrong
+    * dispatch key past ~4k and the dispatcher now also requires measured
+    * prefix selectivity (see [[PrefixMinDistinctPerPrefixSq]]). This
+    * constant remains the small-block arm: below it tiled wins regardless
+    * of vocabulary (measured at every B ≤ 2500 in every era). */
   private val PrefixMinAvgBlockDocs = 4096L
+
+  /** Selectivity arm of the cutover (round 6): the prefix path is chosen
+    * only when the candidate-generating posting lists are measurably
+    * selective. Per block, tiled forms ~B²/2 pairs; uniform-list prefix
+    * candidates are ~(B·p̄)²/(2·D) with p̄ = avg prefix tokens per doc =
+    * (1−t)·avg_distinct_bigrams + 1 and D = distinct bigrams per block —
+    * so prefix can only win when D ≫ p̄². Real df distributions are
+    * Zipf-ish (Σ df² concentrates in the head, hurting prefix further) and
+    * the measured misdispatch risk is asymmetric — picking tiled in a
+    * prefix-favored regime cost ~1.12× in the HOF era, picking prefix in a
+    * tiled-favored regime cost 4.2–7.9× at B = 4k/6k and a disk-spill
+    * blowup at B = 10⁴ — so the rule demands a wide margin:
+    * D ≥ this·p̄². A web-scale open vocabulary (D ~ 10⁶ per block, p̄² ~
+    * 10³–10⁴) passes easily; this synthetic ≤961-bigram family never does,
+    * matching every measured cell. The estimate is one linear aggregate
+    * over the already-built per-doc distinct bigram arrays. */
+  private val PrefixMinDistinctPerPrefixSq = 16L
 
   /** Broadcast ceiling for the prefix path's df>1 vocabulary join, in
     * ENTRIES (each a hashed-long bigram + long df; a broadcast
@@ -266,23 +291,39 @@ object TextQueries {
     * the candidate plan differs. At genuine near-dup thresholds (τ ≥ 0.5)
     * prefer the q16 MinHash-LSH path.
     *
-    * Dispatch (measured round 4, see [[PrefixMinAvgBlockDocs]]): tiled
-    * below t=0.2 at any size; above it, tiled for small/medium blocks and
-    * PPJoin once the average block outgrows ~500 docs (where the tiled
-    * Ω(B²) term overtakes the prefix path's fixed passes). The block-size
-    * estimate is one aggregate over the (dictionary-encoded) source column
-    * — the accepted scalar-action-at-plan-build pattern; at 100 TB this is
-    * footer-and-one-column work, negligible next to either join. */
+    * Dispatch (measured rounds 4–6, see [[PrefixMinAvgBlockDocs]] and
+    * [[PrefixMinDistinctPerPrefixSq]]): tiled below t=0.2 at any size;
+    * above it, tiled unless the average block outgrows ~4k docs AND the
+    * vocabulary is measurably selective enough for prefix postings to
+    * prune (D ≥ 16·p̄² per block — the round-6 B = 4k/6k cells showed
+    * block size alone misdispatches 4.2–7.9× on dense vocabularies). The
+    * block-shape estimate is one aggregate; the selectivity estimate is
+    * one linear pass over the per-doc distinct bigram arrays, evaluated
+    * ONLY when the block-size arm already favors prefix — at 100 TB both
+    * are map-side passes, negligible next to either join. */
   def ngramJaccardJoin(spark: SparkSession, sfDir: String, tMicro: Long): DataFrame = {
     require(tMicro >= 1 && tMicro <= 1000000, s"tMicro out of (0,1]: $tMicro")
     if (tMicro < PrefixCutoverMicro) ngramJaccardTiled(spark, sfDir, tMicro)
     else {
-      val stats = Tables.documents(spark, sfDir)
-        .agg(count(lit(1)).as("n"),
-          approx_count_distinct(col("source")).as("g")).head()
-      val avgBlock = stats.getLong(0) / math.max(1L, stats.getLong(1))
-      if (avgBlock <= PrefixMinAvgBlockDocs) ngramJaccardTiled(spark, sfDir, tMicro)
-      else ngramJaccardPrefix(spark, sfDir, tMicro)
+      val bd = bigramDocs(spark, sfDir)
+      val shape = bd.agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("source")).as("g"),
+        avg(size(col("bigrams"))).as("m")).head()
+      val g = math.max(1L, shape.getLong(1))
+      val avgBlock = shape.getLong(0) / g
+      val avgSetSize = shape.getDouble(2)
+      // distinct (source, bigram) postings per block — computed lazily so
+      // the pass only runs once the block-size arm already favors prefix
+      lazy val distinctPerBlock = bd
+        .select(col("source"), explode(col("bigrams")).as("bg"))
+        .agg(approx_count_distinct(struct(col("source"), col("bg"))))
+        .head().getLong(0).toDouble / g
+      val prefixTokens = (1.0 - tMicro / 1e6) * avgSetSize + 1.0
+      val prefixPays = avgBlock > PrefixMinAvgBlockDocs &&
+        distinctPerBlock >=
+          PrefixMinDistinctPerPrefixSq * prefixTokens * prefixTokens
+      if (prefixPays) ngramJaccardPrefix(spark, sfDir, tMicro)
+      else ngramJaccardTiled(spark, sfDir, tMicro)
     }
   }
 

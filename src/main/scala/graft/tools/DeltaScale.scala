@@ -13,9 +13,11 @@ import graft.queries.IncrementalDedup
  * base ∪ delta.
  *
  * Grid: bases at 1× and 10× (5k / 50k docs, [[SyntheticScale]] family),
- * deltas at 1× and 10× (independent id range ⇒ fresh content, plus an
- * every-20th-base-doc planted duplicate block so the confirm path does
- * real work). Four (base, delta) cells, each measured as
+ * deltas at 1×, 10× and 100× (5k / 50k / 500k docs — two decades, because
+ * at one decade every cell is fixed-cost dominated and proves nothing
+ * about the growth term, the q69 three-decade lesson; independent id
+ * range ⇒ fresh content, plus an every-20th-base-doc planted duplicate
+ * block so the confirm path does real work). Each cell measured as
  *   prep   = prepareBase (the one-time amortized cost — reported, and
  *            expected ∝ |base|)
  *   delta  = dedupDelta + census action (the per-snapshot cost — the claim
@@ -61,7 +63,11 @@ object DeltaScale {
 
     // persist the deltas so the timed region is the dedup pass, not the
     // synthetic text generation
-    val deltas = (for (bs <- Seq(1, 10); ds <- Seq(1, 10)) yield {
+    // 1000× (5M docs) only against the 10× base: through 500k docs every
+    // cell is fixed-cost dominated on 32 cores, so the linear term needs a
+    // third decade to materialize (the q69 lesson)
+    def deltaSizes(bs: Int) = if (bs == 10) Seq(1, 10, 100, 1000) else Seq(1, 10, 100)
+    val deltas = (for (bs <- Seq(1, 10); ds <- deltaSizes(bs)) yield {
       val path = s"$root/incr_delta_b${bs}_d${ds}.parquet"
       makeDelta(spark, bases(bs), 5000L * ds)
         .write.mode("overwrite").parquet(path)
@@ -69,7 +75,7 @@ object DeltaScale {
     }).toMap
 
     val cells: Seq[(String, () => Unit)] =
-      for (bs <- Seq(1, 10); ds <- Seq(1, 10)) yield {
+      for (bs <- Seq(1, 10); ds <- deltaSizes(bs)) yield {
         s"b${bs}x_d${ds}x" -> (() => {
           val delta = spark.read.parquet(deltas((bs, ds)))
           IncrementalDedup.dedupDelta(spark, delta, prepDirs(bs))
@@ -78,13 +84,13 @@ object DeltaScale {
       }
     val secs = Bench.timeAllInterleaved(cells, cycles = cycles,
       teardown = () => spark.catalog.clearCache())
-    for (bs <- Seq(1, 10); ds <- Seq(1, 10))
+    for (bs <- Seq(1, 10); ds <- deltaSizes(bs))
       println(f"[delta-scale] base=${bs}x delta=${ds}x: " +
         f"${secs(s"b${bs}x_d${ds}x")}%.2f s")
     val baseGrowth = secs("b10x_d1x") / secs("b1x_d1x")
-    val deltaGrowth = secs("b1x_d10x") / secs("b1x_d1x")
-    println(f"[delta-scale] 10x BASE at fixed delta: ${baseGrowth}%.2f x; " +
-      f"10x DELTA at fixed base: ${deltaGrowth}%.2f x " +
+    val deltaGrowth = secs("b10x_d1000x") / secs("b10x_d1x")
+    println(f"[delta-scale] 10x BASE at fixed delta: $baseGrowth%.2f x; " +
+      f"1000x DELTA at fixed base: $deltaGrowth%.2f x " +
       "(claim: delta-pass cost follows |delta|, stays ~flat in |base|)")
     spark.stop()
   }

@@ -46,6 +46,28 @@ class IncrementalDedupSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("commitDelta closes the cycle: the next snapshot sees this one's content") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("incrcommit").toString
+    IncrementalDedup.prepareBase(spark, base, dir)
+    // snapshot 1: C is new -> admitted, committed
+    val s1 = Seq((10L, "charlie content")).toDF("doc_id", "text")
+    val f1 = IncrementalDedup.dedupDelta(spark, s1, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(f1 === Map(10L -> false))
+    val fppAfter = IncrementalDedup.commitDelta(spark, s1, dir)
+    assert(fppAfter < 1e-2, s"headroom-sized filter should stay tight: $fppAfter")
+    // snapshot 2: C re-arrives (cross-SNAPSHOT dup via the committed bloom
+    // + appended index, base itself untouched), D is new, A still dups
+    val s2 = Seq((20L, "charlie content"), (21L, "delta fresh"),
+      (22L, "alpha beta")).toDF("doc_id", "text")
+    val f2 = IncrementalDedup.dedupDelta(spark, s2, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(f2 === Map(20L -> true, 21L -> false, 22L -> true))
+  }
+
   test("delta with zero duplicates confirms nothing (bloom negatives short-circuit)") {
     val spark2 = spark
     import spark2.implicits._

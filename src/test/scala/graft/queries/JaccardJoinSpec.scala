@@ -40,6 +40,20 @@ class JaccardJoinSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("dispatcher picks tiled on this dense-vocab family at high t (selectivity arm)") {
+    // round-6 rule: prefix needs BOTH a big block AND measured posting
+    // selectivity (distinct postings/block >= 16·p̄²). This corpus draws
+    // from <=961 possible bigrams, so at ANY block size the selectivity
+    // arm must veto prefix — the measured B=4k/6k cells showed the
+    // block-size arm alone misdispatching 4.2–7.9× (BENCH_SCALING.md).
+    // Tiled plan fingerprint: PairTiling's pmod group assignment; prefix
+    // fingerprint: the (df, bg)-ordered row_number window.
+    val p = TextQueries.ngramJaccardJoin(spark, sf("sf0.001"), 300000L)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("row_number"), s"dispatcher chose prefix:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("tiled plan forms each pair exactly once (no distinct needed)") {
     // pair multiplicity check: drop the verify threshold to 1 so every
     // surviving size-ratio pair is emitted; duplicates would double rows
