@@ -74,16 +74,22 @@ object IncrementalDedup {
       headroom: Double = 4.0): Unit = {
     val spark2 = spark
     import spark2.implicits._
+    // persisted: three consumers (count, bloom agg, index write) — uncached
+    // each would re-scan the base TEXT and re-hash; the cached frame is the
+    // 32-byte hash column only, never the text
     val hashes = base.select(sha2(col("text"), 256).as("h"))
-    val expected =
-      math.max(1024L, (hashes.count() * math.max(1.0, headroom)).toLong)
-    val fpp = 1e-3
-    Seq((expected, fpp)).toDF("expected", "fpp")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    hashes.agg(bloom_sketch(col("h"), expected, fpp).as("sk"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bloom")
-    hashes.withColumn("b", bucketOf(col("h")))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$dir/index")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val expected =
+        math.max(1024L, (hashes.count() * math.max(1.0, headroom)).toLong)
+      val fpp = 1e-3
+      Seq((expected, fpp)).toDF("expected", "fpp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      hashes.agg(bloom_sketch(col("h"), expected, fpp).as("sk"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/bloom")
+      hashes.withColumn("b", bucketOf(col("h")))
+        .write.mode("overwrite").partitionBy("b").parquet(s"$dir/index")
+    } finally hashes.unpersist()
   }
 
   /** Admit an accepted delta into the base artifacts WITHOUT rebuilding —

@@ -87,15 +87,17 @@ private[graft] object SliceReplay {
     df.schema
   }
 
-  /** Start a streaming query with `spark.sql.shuffle.partitions` set to
+  /** Start streaming queries with `spark.sql.shuffle.partitions` set to
     * `statePartitions` for the duration of the plan's materialization:
     * stateful operators inherit the setting at query start and every
     * micro-batch pays a per-partition state commit, so the gates size the
     * state layout to their key cardinality instead of the batch engine's
     * 32 — the same independent-sizing knob a 100 TB run turns UP (state
-    * partitions ≈ executor cores, not batch shuffle width). */
-  def startSized(spark: SparkSession, statePartitions: String)(
-      start: => StreamingQuery): StreamingQuery = {
+    * partitions ≈ executor cores, not batch shuffle width). Generic in the
+    * block's result so a gate can start SEVERAL queries under one sizing
+    * scope (q79 starts both its faces here and drains them concurrently). */
+  def startSized[T](spark: SparkSession, statePartitions: String)(
+      start: => T): T = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try start finally spark.conf.set("spark.sql.shuffle.partitions", saved)
