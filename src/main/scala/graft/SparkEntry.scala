@@ -209,7 +209,14 @@ object SparkEntry {
     // + hash-only bucketed index read in touched buckets only; planted
     // cross-snapshot duplicates, full value oracle over base ∪ delta, and
     // a pruned-vs-full parity verdict (the incremental path is exact).
-    "q80_incremental_dedup" -> IncrementalDedup.incrementalDedupGate _
+    "q80_incremental_dedup" -> IncrementalDedup.incrementalDedupGate _,
+    // q81: product-quantized ANN (Jégou et al. 2011) — the
+    // memory-compression leg of the ANN family: fixed-seed subspace
+    // codebooks (so training is oracle-expressible, the q72 discipline),
+    // argmin encode to 4-bit codes, asymmetric-distance top-5 as exact
+    // bigint sums of broadcast table lookups, plus a full-corpus exact-L2
+    // recall audit whose hits the oracle re-derives as VALUES.
+    "q81_pq_ann" -> AnnQueries.pqAnn _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -682,6 +689,66 @@ object SparkEntry {
       """SELECT cast(user_id AS varchar) AS user_id, count(*) AS exact_count,
         | true AS est_le_exact, true AS candidate_hit
         |FROM events GROUP BY 1 ORDER BY exact_count DESC, user_id LIMIT 20""".stripMargin,
+
+    // q81: the oracle re-derives the ENTIRE PQ pipeline — codebook seeds,
+    // argmin codes, ADC tables, integer distance sums, exact-L2 audit and
+    // the recall_hits values — because every float leaves the engines as
+    // floor(·10⁶) and every comparison/sum downstream is bigint (the
+    // q24/q65 discipline); nothing is asserted as a constant.
+    "q81_pq_ann" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+        |  FROM embeddings),
+        |cb AS (
+        |  SELECT t.j, cast(vec_id // 8 AS bigint) AS c,
+        |    list_slice(v, t.j*8+1, t.j*8+8) AS cvec
+        |  FROM v CROSS JOIN range(8) t(j)
+        |  WHERE vec_id % 8 = 0 AND vec_id < 128),
+        |sub AS (
+        |  SELECT vec_id, t.j, list_slice(v, t.j*8+1, t.j*8+8) AS sv
+        |  FROM v CROSS JOIN range(8) t(j)),
+        |cd AS (
+        |  SELECT sub.vec_id, sub.j, cb.c,
+        |    cast(floor(list_sum(list_transform(range(1, 9),
+        |      i -> (sv[i]-cvec[i])*(sv[i]-cvec[i]))) * 1000000.0) AS bigint) AS d2
+        |  FROM sub JOIN cb ON sub.j = cb.j),
+        |codes AS (
+        |  SELECT vec_id, j, c AS code FROM cd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+        |qsub AS (
+        |  SELECT query_id, t.j, list_slice(qv, t.j*8+1, t.j*8+8) AS qsv
+        |  FROM q CROSS JOIN range(8) t(j)),
+        |tab AS (
+        |  SELECT qsub.query_id, qsub.j, cb.c,
+        |    cast(floor(list_sum(list_transform(range(1, 9),
+        |      i -> (qsv[i]-cvec[i])*(qsv[i]-cvec[i]))) * 1000000.0) AS bigint) AS t_micro
+        |  FROM qsub JOIN cb ON qsub.j = cb.j),
+        |adc AS (
+        |  SELECT tab.query_id, codes.vec_id, cast(sum(t_micro) AS bigint) AS adc_micro
+        |  FROM codes JOIN tab ON codes.j = tab.j AND codes.code = tab.c
+        |  WHERE codes.vec_id <> tab.query_id
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT query_id, vec_id AS neighbor_id, adc_micro,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc_micro, vec_id) AS rn
+        |  FROM adc QUALIFY rn <= 5),
+        |ex AS (
+        |  SELECT q.query_id, v.vec_id AS neighbor_id,
+        |    cast(floor(list_sum(list_transform(range(1, len(v.v) + 1),
+        |      i -> (v.v[i]-q.qv[i])*(v.v[i]-q.qv[i]))) * 1000000.0) AS bigint) AS d2
+        |  FROM v, q WHERE v.vec_id <> q.query_id),
+        |ext AS (
+        |  SELECT query_id, neighbor_id FROM ex
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) <= 5),
+        |hits AS (
+        |  SELECT t.query_id, cast(count(*) AS bigint) AS recall_hits
+        |  FROM top t JOIN ext e USING (query_id, neighbor_id)
+        |  GROUP BY 1)
+        |SELECT t.query_id, cast(t.rn AS int) AS rn, t.neighbor_id, t.adc_micro,
+        |  coalesce(h.recall_hits, cast(0 AS bigint)) AS recall_hits
+        |FROM top t LEFT JOIN hits h ON t.query_id = h.query_id
+        |ORDER BY t.query_id, rn""".stripMargin,
 
     "q40_bound_audit" -> {
       // same ε-effective constant the Spark side computes; Double.toString

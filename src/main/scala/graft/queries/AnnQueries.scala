@@ -662,4 +662,125 @@ object AnnQueries {
         col("fn_suspects"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  // ---- q81: product-quantized ANN (Jégou et al., TPAMI 2011) ----
+
+  /** Gate sizing: m=8 subspaces × 8 dims over the 64-dim embeddings,
+    * k=16 centroids per subspace (4-bit codes ⇒ 8 B of codes per vector
+    * vs 256 B of float32 — 32× index compression), seed centroid c of
+    * every subspace = the subvector of vec_id = c·stride (fixed seeds, no
+    * Lloyd — the q72 discipline that makes the WHOLE operator, training
+    * included, expressible 1:1 in the oracle; q39 covers the Lloyd-refined
+    * path). */
+  private val PqM = 8
+  private val PqSubDims = 8
+  private val PqK = 16
+  private val PqStride = 8L
+
+  /** floor(‖a−b‖²·10⁶) over two double arrays, summed in array order —
+    * the cross-engine-deterministic distance both the codes and the ADC
+    * tables are built from (the q24/q65 floored-micro discipline: every
+    * downstream comparison and sum is exact bigint arithmetic). */
+  private def d2Micro(a: Column, b: Column): Column =
+    floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x) * 1e6).cast("long")
+
+  /** q81: PQ + asymmetric-distance (ADC) top-5 — the memory-compression
+    * leg of the ANN family (q24 brute / q26 LSH / q39 IVF / q49 int8):
+    *
+    *  1. codebook: m·k subvector centroids (128 rows ≈ 1 KB — broadcast);
+    *  2. encode: per (vector, subspace), code = argmin_c of the floored
+    *     micro squared L2 (tie → lowest c) — one broadcast join +
+    *     partial-agg min-struct (the q72 assignment shape); the codes ARE
+    *     the index: 8 B/vector, written once, the float vectors never
+    *     rescanned at query time;
+    *  3. query: per query, an m·k table of floored micro distances from
+    *     its subvectors to every centroid (5·128 rows — broadcast), then
+    *     ADC distance = Σ_j table[j][code_j], an exact bigint sum of m
+    *     lookups per vector — the linear scan touches ONLY the code
+    *     column;
+    *  4. audit: exact 64-dim floored-micro L2 top-5 per query, recall_hits
+    *     = |ADC top-5 ∩ exact top-5| emitted as a VALUE the oracle
+    *     re-derives (not an asserted constant — PQ recall on this
+    *     near-isotropic corpus is whatever it is, and both engines must
+    *     agree on it; PqAnnSpec pins high recall on a planted-cluster
+    *     fixture, PQ's actual domain).
+    *
+    * 100 TB shape: the production refinement is ADC-scan → shortlist →
+    * exact re-rank of the shortlist only (not run here — the gate's exact
+    * side is the audit, full-corpus by intent); codes for 10⁹ vectors are
+    * ~8 GB against 256 GB of floats, and the scan is one map-side pass
+    * against two broadcast tables. */
+  def pqAnn(spark: SparkSession, sfDir: String): DataFrame =
+    pqAnnOn(Tables.embeddings(spark, sfDir), PqK, PqStride, nQueries = 5)
+
+  /** PQ-ADC over any (vec_id, embedding) frame — k centroids per subspace
+    * seeded from vec_id = c·stride, queries = the nQueries lowest ids. */
+  def pqAnnOn(embIn: DataFrame, k: Int, stride: Long, nQueries: Int)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // cached: codebook seed scan + encode + queries + exact audit all read it
+    val emb = embIn
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .cache()
+    val subIdx = explode(expr(s"sequence(0, ${PqM - 1})"))
+    // codebook: (j, c, cvec) — inherently driver-small (m·k rows), pinned
+    // like the IVF centroids so downstream joins don't re-derive it
+    val codebook = materializeCentroids(
+      emb.filter(col("vec_id") % stride === 0 && col("vec_id") < k * stride)
+        .select((col("vec_id") / stride).cast("long").as("c"), col("v"))
+        .select(col("c"), subIdx.as("j"), col("v"))
+        .select(col("j"), col("c"),
+          expr(s"slice(v, j * $PqSubDims + 1, $PqSubDims)").as("cvec")))
+    // encode: argmin over the broadcast codebook, min-struct tiebreak to
+    // the lowest code — one shuffle of (vec_id, j) keyed 16-byte rows
+    val codes = emb
+      .select(col("vec_id"), subIdx.as("j"), col("v"))
+      .select(col("vec_id"), col("j"),
+        expr(s"slice(v, j * $PqSubDims + 1, $PqSubDims)").as("sv"))
+      .join(broadcast(codebook), Seq("j"))
+      .select(col("vec_id"), col("j"),
+        struct(d2Micro(col("sv"), col("cvec")).as("d2"), col("c")).as("s"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(col("s")).as("s"))
+      .select(col("vec_id"), col("j"), col("s.c").as("code"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // per-query ADC lookup tables (nQueries·m·k rows — broadcast)
+    val tables = queries
+      .select(col("query_id"), subIdx.as("j"), col("qv"))
+      .select(col("query_id"), col("j"),
+        expr(s"slice(qv, j * $PqSubDims + 1, $PqSubDims)").as("qsv"))
+      .join(broadcast(codebook), Seq("j"))
+      .select(col("query_id"), col("j"), col("c"),
+        d2Micro(col("qsv"), col("cvec")).as("t_micro"))
+    val adc = codes
+      .join(broadcast(tables),
+        codes("j") === tables("j") && codes("code") === tables("c"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("t_micro")).as("adc_micro"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val top = adc
+      .withColumn("rn", row_number().over(w.partitionBy(col("query_id"))
+        .orderBy(asc("adc_micro"), asc("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn").cast("int").as("rn"),
+        col("vec_id").as("neighbor_id"), col("adc_micro"))
+    // audit side: exact 64-dim floored-micro L2 top-5
+    val exact = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        d2Micro(col("v"), col("qv")).as("d2_micro"))
+      .withColumn("rn", row_number().over(w.partitionBy(col("query_id"))
+        .orderBy(asc("d2_micro"), asc("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val hits = top.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("recall_hits"))
+    top.join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("adc_micro"),
+        coalesce(col("recall_hits"), lit(0L)).as("recall_hits"))
+      .orderBy(col("query_id"), col("rn"))
+  }
 }

@@ -48,7 +48,8 @@ object ScaleDecade {
       "q77_hard_negatives",
       "q78_stream_topk",
       "q79_stream_dedup",
-      "q80_incremental_dedup")
+      "q80_incremental_dedup",
+      "q81_pq_ann")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

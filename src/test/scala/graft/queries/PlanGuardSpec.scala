@@ -220,6 +220,18 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q81 ADC scan rides broadcast lookup tables — never a cartesian") {
+    val p = plan("q81_pq_ann")
+    // the code→table lookup and the codebook joins must be broadcast hash
+    // joins (the tables are m·k and q·m·k rows by construction); the only
+    // nested-loop is the exact-audit crossJoin against the 5 broadcast
+    // queries — a CartesianProduct anywhere means a lookup side lost its
+    // broadcast and the linear ADC scan went quadratic
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q67 is join-free: one codegen map pass + the source rollup") {
     val p = plan("q67_pii_census")
     assert(!p.contains("Join"), p)
