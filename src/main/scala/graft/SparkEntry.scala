@@ -216,7 +216,14 @@ object SparkEntry {
     // argmin encode to 4-bit codes, asymmetric-distance top-5 as exact
     // bigint sums of broadcast table lookups, plus a full-corpus exact-L2
     // recall audit whose hits the oracle re-derives as VALUES.
-    "q81_pq_ann" -> AnnQueries.pqAnn _
+    "q81_pq_ann" -> AnnQueries.pqAnn _,
+    // q82: q80's incremental dedup as the PRODUCTION topology — the delta
+    // as a firehose: bloom-negative bypass ∪ (bloom-positive →
+    // stream-static anti-verify against the hash index) →
+    // dropDuplicatesWithinWatermark → survivor log; q80's artifacts,
+    // q79's bounded state, one full-value-oracle census.
+    "q82_stream_incr_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamIncrDedup.streamIncrementalDedup(s, d))
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -689,6 +696,28 @@ object SparkEntry {
       """SELECT cast(user_id AS varchar) AS user_id, count(*) AS exact_count,
         | true AS est_le_exact, true AS candidate_hit
         |FROM events GROUP BY 1 ORDER BY exact_count DESC, user_id LIMIT 20""".stripMargin,
+
+    // q82: the oracle re-derives the streamed incremental-dedup census
+    // from base ∪ delta in plain SQL — n_delta arrivals, distinct delta
+    // texts absent from the base (survivors: first in-horizon occurrence
+    // wins, so the COUNT is arrival-order-free), and the dropped
+    // remainder. Same delta construction as q80, so the batch and
+    // streaming topologies pin the same semantics.
+    "q82_stream_incr_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src19'),
+        |delta AS (
+        |  SELECT cast(doc_id AS bigint) AS doc_id, text FROM documents
+        |  WHERE source = 'src19'
+        |  UNION ALL
+        |  SELECT cast(doc_id AS bigint) + 5000000, text FROM base
+        |  WHERE doc_id % 50 = 0),
+        |nd AS (
+        |  SELECT count(DISTINCT text) AS c FROM delta
+        |  WHERE text NOT IN (SELECT text FROM base))
+        |SELECT (SELECT count(*) FROM delta) AS n_delta,
+        |  (SELECT c FROM nd) AS new_distinct,
+        |  (SELECT count(*) FROM delta) - (SELECT c FROM nd) AS dropped""".stripMargin,
 
     // q81: the oracle re-derives the ENTIRE PQ pipeline — codebook seeds,
     // argmin codes, ADC tables, integer distance sums, exact-L2 audit and

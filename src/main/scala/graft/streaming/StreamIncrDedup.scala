@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.agg.SketchFunctions.bloom_probe
+import graft.queries.{IncrementalDedup, Tables}
+
+/**
+ * q82: q80's incremental corpus-delta dedup run as the PRODUCTION topology
+ * — a delta FIREHOSE deduplicated in-stream against a prebuilt base, the
+ * composition of q80's artifacts (content-hash Bloom + hash index, built
+ * once by [[IncrementalDedup.prepareBase]]) with q79's bounded-state
+ * streaming dedup:
+ *
+ *   readStream (delta arrivals, one [[SliceReplay]] slice per micro-batch)
+ *     ├─ Bloom-NEGATIVE branch: definitely new (no false negatives) —
+ *     │    bypasses the join entirely; at production fpp this is ~all
+ *     │    non-duplicate traffic, so the per-batch join input is the
+ *     │    fpp-bounded residue, not the firehose
+ *     └─ Bloom-POSITIVE branch: stream-static LEFT OUTER join against the
+ *          hash-only index (per-batch, stateless), null-match rows = the
+ *          fpp false positives, rescued as new
+ *   → union → withWatermark → dropDuplicatesWithinWatermark(h)   (q79's
+ *     bounded keyed state: first occurrence within the horizon survives)
+ *   → append-mode survivor log → one batch census over the log.
+ *
+ * Census (FULL value oracle — every term is plain SQL over base ∪ delta):
+ * n_delta arrivals, new_distinct survivors (delta texts absent from the
+ * base, counted once regardless of how often they re-arrive), dropped =
+ * n_delta − new_distinct (cross-snapshot duplicates + within-delta
+ * re-arrivals). The delta is q80's gate delta verbatim (newest source
+ * block + planted every-50th-base-doc duplicates), so the two gates pin
+ * the SAME semantics through the batch and streaming topologies.
+ *
+ * Scale: state = in-horizon distinct NEW hashes only (duplicates against
+ * the base never enter the dedup state — the Bloom+join prefilter drops
+ * them first); the static join side is the hash-only index; the Bloom
+ * rides the broadcast. No driver collect.
+ */
+object StreamIncrDedup {
+
+  private val Slices = 3
+  private val WatermarkDelay = "24 hours"
+  private val StatePartitions = "2"
+  private val BaseTus = 1600000000000000L // the q79 epoch-clearance constant
+
+  @volatile private[graft] var lastRunBatches: Int = 0
+  @volatile private[graft] var lastStateRows: Long = 0L
+
+  def streamIncrementalDedup(spark: SparkSession, sfDir: String,
+      slices: Int = Slices): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("source") =!= IncrementalDedup.DeltaSource)
+    val delta = IncrementalDedup.gateDelta(docs)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-incr-dedup/q82").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IncrementalDedup.prepareBase(spark, base, dir)
+
+    val root = SliceReplay.freshRoot("q82")
+    // deterministic monotone arrivals: planted copies re-id past the raw
+    // block, so row_number over doc_id gives disjoint slice ranges
+    val staged = delta.select(sha2(col("text"), 256).as("h"),
+      (lit(BaseTus) + col("doc_id") * 1000L).as("tus"))
+    val schema = SliceReplay.stage(spark, staged, slices, root)
+
+    val probe = bloom_probe(spark.read.parquet(s"$dir/bloom"))
+    val index = spark.read.parquet(s"$dir/index")
+      .select(col("h")).distinct().withColumn("in_base", lit(true))
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val negatives = in.filter(!probe(col("h")))
+    val rescued = in.filter(probe(col("h")))
+      .join(index, Seq("h"), "left_outer") // stream-static, per-batch
+      .filter(col("in_base").isNull)
+      .select(col("h"), col("tus"))
+    val q = SliceReplay.startSized(spark, StatePartitions) {
+      negatives.unionAll(rescued)
+        .withColumn("ts", timestamp_micros(col("tus")))
+        .withWatermark("ts", WatermarkDelay)
+        .dropDuplicatesWithinWatermark("h")
+        .select(col("h"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$root/survivors")
+        }
+        .start()
+    }
+    val st = SliceReplay.runToCompletion(q)
+    lastRunBatches = st.batches
+    lastStateRows = st.stateRows
+
+    val survivors = spark.read.parquet(s"$root/survivors")
+    delta.agg(count(lit(1)).as("n_delta"))
+      .crossJoin(survivors.agg(count(lit(1)).as("new_distinct")))
+      .select(col("n_delta"), col("new_distinct"),
+        (col("n_delta") - col("new_distinct")).as("dropped"))
+  }
+}

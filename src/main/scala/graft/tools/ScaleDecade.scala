@@ -49,7 +49,8 @@ object ScaleDecade {
       "q78_stream_topk",
       "q79_stream_dedup",
       "q80_incremental_dedup",
-      "q81_pq_ann")
+      "q81_pq_ann",
+      "q82_stream_incr_dedup")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all
