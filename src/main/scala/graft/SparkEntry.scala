@@ -505,7 +505,7 @@ object SparkEntry {
         |  SELECT cast(doc_id AS bigint) AS doc_id, text FROM documents
         |  WHERE source = 'src19'
         |  UNION ALL
-        |  SELECT cast(doc_id AS bigint) + 5000000, text FROM base
+        |  SELECT cast(doc_id AS bigint) + 1000000000000, text FROM base
         |  WHERE doc_id % 50 = 0),
         |conf AS (
         |  SELECT count(*) AS c FROM delta
@@ -710,7 +710,7 @@ object SparkEntry {
         |  SELECT cast(doc_id AS bigint) AS doc_id, text FROM documents
         |  WHERE source = 'src19'
         |  UNION ALL
-        |  SELECT cast(doc_id AS bigint) + 5000000, text FROM base
+        |  SELECT cast(doc_id AS bigint) + 1000000000000, text FROM base
         |  WHERE doc_id % 50 = 0),
         |nd AS (
         |  SELECT count(DISTINCT text) AS c FROM delta

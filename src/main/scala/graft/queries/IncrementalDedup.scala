@@ -46,9 +46,11 @@ object IncrementalDedup {
   private[graft] val DeltaSource = "src19"
 
   /** Every 50th base doc is re-planted into the delta as a cross-snapshot
-    * duplicate (new doc identity, same content). */
+    * duplicate (new doc identity, same content). The offset sits far above
+    * any plausible corpus id (10¹² — a 5×10⁶ offset would collide planted
+    * ids with raw ids on a ≥5M-doc corpus and corrupt the census). */
   private[graft] val PlantEvery = 50
-  private[graft] val PlantIdOffset = 5000000L
+  private[graft] val PlantIdOffset = 1000000000000L
 
   /** Hash-index directory partitions: leading hex nibble → 16 buckets.
     * Production sizes this up (e.g. 2 hex chars → 256) so bucket files stay

@@ -221,7 +221,14 @@ object SketchQueries {
     *   - candidate_hit: reversibility — every true heavy hitter is resident
     *     in some slot and enumerable via GetAllKeys
     *     (/root/reference/Simulation/CountMax.cs:101-108; the ElephantCover
-    *     metric /root/reference/Simulator/Program.cs:715-722).
+    *     metric /root/reference/Simulator/Program.cs:715-722). Unlike
+    *     est_le_exact this is a REGIME property, not an algorithm
+    *     guarantee: a top key could in principle lose all d slots to
+    *     heavier colliders. The gate sizes the sketch so the regime holds
+    *     with wide margin (d=4 × w=4096 = 16384 slots vs ≤1500 keys at any
+    *     verify scale — verified empirically at sf0.001/0.01/0.1, zero
+    *     misses at all three even at the previous 2×1024 sizing); a bigger
+    *     corpus widens w, exactly as the reference tunes it.
     * Kernel parity itself stays hand-traced in FrequentItemsSpec. */
   def countMaxParity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -229,7 +236,7 @@ object SketchQueries {
       .select(col("user_id").cast("string").as("user_id"))
     // the order-sensitive single-stream build (cannot be a distributed agg)
     val skBytes = ev.as[String].repartition(1).mapPartitions { it =>
-      val cmx = graft.sketch.CountMax(2, 1024)
+      val cmx = graft.sketch.CountMax(4, 4096)
       it.foreach(k => cmx.update(k, 1L))
       Iterator.single(cmx.serialize())
     }.collect()(0) // ONE serialized-sketch row — the cm_probe bounded collect

@@ -305,24 +305,37 @@ object TextQueries {
     require(tMicro >= 1 && tMicro <= 1000000, s"tMicro out of (0,1]: $tMicro")
     if (tMicro < PrefixCutoverMicro) ngramJaccardTiled(spark, sfDir, tMicro)
     else {
-      val bd = bigramDocs(spark, sfDir)
-      val shape = bd.agg(count(lit(1)).as("n"),
-        approx_count_distinct(col("source")).as("g"),
-        avg(size(col("bigrams"))).as("m")).head()
+      // block-shape arm first: footer-and-one-column work on the raw table
+      // (the bigram tower is NOT built unless the block-size arm already
+      // favors prefix — on every committed sf this resolves to tiled here)
+      val shape = Tables.documents(spark, sfDir)
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(col("source")).as("g")).head()
       val g = math.max(1L, shape.getLong(1))
       val avgBlock = shape.getLong(0) / g
-      val avgSetSize = shape.getDouble(2)
-      // distinct (source, bigram) postings per block — computed lazily so
-      // the pass only runs once the block-size arm already favors prefix
-      lazy val distinctPerBlock = bd
-        .select(col("source"), explode(col("bigrams")).as("bg"))
-        .agg(approx_count_distinct(struct(col("source"), col("bg"))))
-        .head().getLong(0).toDouble / g
-      val prefixTokens = (1.0 - tMicro / 1e6) * avgSetSize + 1.0
-      val prefixPays = avgBlock > PrefixMinAvgBlockDocs &&
-        distinctPerBlock >=
-          PrefixMinDistinctPerPrefixSq * prefixTokens * prefixTokens
-      if (prefixPays) ngramJaccardPrefix(spark, sfDir, tMicro)
+      // selectivity arm, evaluated ONLY for big blocks: one linear pass
+      // over the per-doc distinct bigram arrays for (avg set size,
+      // distinct postings per block); an empty corpus aggregates avg to
+      // null → dispatch tiled (nothing to win either way)
+      def prefixSelective: Boolean = {
+        val bd = bigramDocs(spark, sfDir)
+        val sel = bd
+          .select(col("source"), col("doc_id"), explode(col("bigrams")).as("bg"))
+          .agg(approx_count_distinct(struct(col("source"), col("bg"))).as("d"),
+            count(lit(1)).as("elems"),
+            approx_count_distinct(col("doc_id")).as("docs")).head()
+        sel.getLong(2) > 0L && {
+          val distinctPerBlock = sel.getLong(0).toDouble / g
+          // true mean set size = elements / docs (an avg over exploded
+          // rows would be size-WEIGHTED — E[m²]/E[m], not E[m])
+          val avgSetSize = sel.getLong(1).toDouble / sel.getLong(2)
+          val prefixTokens = (1.0 - tMicro / 1e6) * avgSetSize + 1.0
+          distinctPerBlock >=
+            PrefixMinDistinctPerPrefixSq * prefixTokens * prefixTokens
+        }
+      }
+      if (avgBlock > PrefixMinAvgBlockDocs && prefixSelective)
+        ngramJaccardPrefix(spark, sfDir, tMicro)
       else ngramJaccardTiled(spark, sfDir, tMicro)
     }
   }

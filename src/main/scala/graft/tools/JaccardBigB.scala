@@ -30,7 +30,7 @@ import graft.queries.TextQueries
 object JaccardBigB {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2,
+    require(args.length == 2 && Set("tiled", "prefix")(args(1)),
       "usage: JaccardBigB <scale: 16|24|...> <tiled|prefix>")
     val scale = args(0).toInt
     val usePrefix = args(1) == "prefix"
