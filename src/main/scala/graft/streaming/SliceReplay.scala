@@ -103,9 +103,12 @@ private[graft] object SliceReplay {
     try start finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
-  /** (data micro-batches, state rows updated) — spec-visible evidence a
-    * gate run was genuinely incremental and stateful. */
-  final case class RunStats(batches: Int, stateRows: Long)
+  /** (data micro-batches, state rows updated, peak resident state rows) —
+    * spec-visible evidence a gate run was genuinely incremental and
+    * stateful; `stateRowsMax` is the watermark-eviction witness (peak
+    * `numRowsTotal` across micro-batches — bounded by the horizon, not
+    * the stream, when eviction works). */
+  final case class RunStats(batches: Int, stateRows: Long, stateRowsMax: Long)
 
   /** Drain the stream, capture progress evidence, stop. */
   def runToCompletion(q: StreamingQuery): RunStats =
@@ -113,6 +116,8 @@ private[graft] object SliceReplay {
       q.processAllAvailable()
       val progress = q.recentProgress
       RunStats(progress.count(_.numInputRows > 0),
-        progress.flatMap(_.stateOperators.map(_.numRowsUpdated)).sum)
+        progress.flatMap(_.stateOperators.map(_.numRowsUpdated)).sum,
+        progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max))
     } finally { q.stop() }
 }

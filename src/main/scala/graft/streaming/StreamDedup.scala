@@ -54,24 +54,40 @@ object StreamDedup {
   @volatile private[graft] var lastRunBatches: Int = 0
   @volatile private[graft] var lastDedupStateRows: Long = 0L
 
+  /** Peak resident dedup-state rows across micro-batches of the most
+    * recent run — the eviction witness: with a horizon narrower than the
+    * stream span this stays bounded by the horizon while the distinct-hash
+    * count keeps growing (StreamDedupSpec pins it). */
+  @volatile private[graft] var lastDedupStateRowsMax: Long = 0L
+
   /** Synthetic arrival epoch (2020-09-13): a doc_id-0 arrival at the REAL
     * epoch sits exactly on the state store's zero-initialized watermark and
     * is discarded as late before the dedup state ever sees it (observed:
     * 499/500 survivors at sf0.001) — every synthetic time sits far above
     * any initial-watermark artifact instead. */
-  private val BaseTus = 1600000000000000L
+  private[graft] val BaseTus = 1600000000000000L
 
   /** q79: the q15 dedup census — identical output contract (and oracle
     * string) to q15, computed through the streaming path. */
   def streamDedupCensus(spark: SparkSession, sfDir: String,
       slices: Int = Slices): DataFrame = {
-    val root = SliceReplay.freshRoot("q79")
     // synthetic arrival order: 1 ms per doc id. Any order gives the same
     // census (see scaladoc); this one is deterministic and monotone so the
     // slices are time-range-disjoint.
     val docs = Tables.documents(spark, sfDir)
       .select(sha2(col("text"), 256).as("h"),
         (lit(BaseTus) + col("doc_id").cast("long") * 1000L).as("tus"))
+    streamDedupCensusOn(spark, docs, slices, WatermarkDelay)
+  }
+
+  /** The census over any (h, tus) frame with an explicit horizon — the
+    * gate uses a horizon past the staged range (global-exact, see
+    * scaladoc); the eviction fixture uses a NARROW one to witness bounded
+    * state. The census stays exact under a narrow horizon iff every
+    * duplicate re-arrives within it (the production sizing rule). */
+  private[graft] def streamDedupCensusOn(spark: SparkSession, docs: DataFrame,
+      slices: Int, watermarkDelay: String): DataFrame = {
+    val root = SliceReplay.freshRoot("q79")
     val schema = SliceReplay.stage(spark, docs, slices, root)
     def in() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -86,7 +102,7 @@ object StreamDedup {
     val (q1, q2) = SliceReplay.startSized(spark, StatePartitions) {
       // face 1: bounded-state exact dedup → append-mode survivor log
       val dedup = in().withColumn("ts", timestamp_micros(col("tus")))
-        .withWatermark("ts", WatermarkDelay)
+        .withWatermark("ts", watermarkDelay)
         .dropDuplicatesWithinWatermark("h")
         .select(col("h"))
         .writeStream.outputMode("append")
@@ -110,6 +126,7 @@ object StreamDedup {
       finally SliceReplay.runToCompletion(q2)
     lastRunBatches = st1.batches
     lastDedupStateRows = st1.stateRows
+    lastDedupStateRowsMax = st1.stateRowsMax
 
     val survivors = spark.read.parquet(s"$root/survivors")
     val counts = spark.read.parquet(s"$root/counts")

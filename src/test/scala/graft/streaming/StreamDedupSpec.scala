@@ -26,6 +26,27 @@ class StreamDedupSpec extends SparkTestBase {
     assert(StreamDedup.lastDedupStateRows > 0L)
   }
 
+  test("narrow horizon: state bounded by the horizon, census still exact") {
+    // 1000 arrivals, 500 distinct hashes, each duplicate exactly 1 h after
+    // its first occurrence, 2 h horizon, 10 micro-batches: every duplicate
+    // re-arrives INSIDE the horizon (census stays exact — the production
+    // sizing rule), while hashes older than the horizon are EVICTED — the
+    // peak resident state must sit near one batch's inserts (~50 hashes),
+    // far below the 500 distinct hashes a no-eviction run would hold.
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0 until 1000).map { i =>
+      ("k" + (i / 2), StreamDedup.BaseTus + i.toLong * 3600000000L)
+    }.toDF("h", "tus")
+    val out = StreamDedup.streamDedupCensusOn(spark, docs, slices = 10,
+      watermarkDelay = "2 hours").head()
+    assert(out.toString === "[1000,500,500,1000]")
+    assert(StreamDedup.lastDedupStateRowsMax > 0L)
+    assert(StreamDedup.lastDedupStateRowsMax < 200L,
+      s"eviction not bounding state: peak=${StreamDedup.lastDedupStateRowsMax}")
+    spark.catalog.clearCache()
+  }
+
   test("slice count cannot change the census (counts are order-free)") {
     val oneSlice = StreamDedup.streamDedupCensus(spark, sf("sf0.001"), slices = 1)
       .collect().map(_.toString).toSeq
