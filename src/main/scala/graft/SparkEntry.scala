@@ -223,7 +223,13 @@ object SparkEntry {
     // dropDuplicatesWithinWatermark → survivor log; q80's artifacts,
     // q79's bounded state, one full-value-oracle census.
     "q82_stream_incr_dedup" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamIncrDedup.streamIncrementalDedup(s, d))
+      graft.streaming.StreamIncrDedup.streamIncrementalDedup(s, d)),
+    // q83: BM25 ranked keyword retrieval — the inverted-index face of the
+    // search stack (the ANN family covers vectors): broadcast query-term
+    // prefilter before any shuffle, per-(query, doc, term) tf census,
+    // all-bigint BM25 arithmetic (milli-rounded avgdl; one injected ln()),
+    // q77-salted two-level top-5 per query.
+    "q83_bm25_topk" -> TextQueries.bm25Search _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -313,6 +319,59 @@ object SparkEntry {
         |SELECT node AS doc_id, min(label) AS cluster_id,
         |  (node = min(label)) AS is_keeper
         |FROM reach GROUP BY node ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** q84 oracle: the q37 recursive-CC scaffold over documents ∪ the two
+    * planted higher-quality twins (selection re-derived: the two longest
+    * docs by (token count desc, doc_id)), plus the q21 quality formula in
+    * integer milli and the per-cluster argmax survivor. All planting
+    * constants (suffix tokens, the 10¹² id offset) are literals mirrored
+    * from [[graft.queries.DedupClusterQuery.qualityKeepersGate]]. */
+  private val QualityKeepersOracleSql: String =
+    """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |sel AS (SELECT doc_id FROM base
+        |  ORDER BY len(string_split(text, ' ')) DESC, doc_id LIMIT 2),
+        |docs2 AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT b.doc_id + 1000000000000,
+        |    b.text || ' qkalpha qkbravo qkcharlie qkdelta qkecho qkfoxtrot qkgolf qkhotel'
+        |  FROM base b JOIN sel USING (doc_id)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      cast(floor(cast(len(list_intersect(a.s, b.s)) AS double) /
+        |        cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS double)
+        |        * 1000000.0) AS bigint) AS jaccard_micro
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard_micro >= 500000),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+        |  UNION
+        |  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node),
+        |labels AS (SELECT node AS doc_id, min(label) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |qual AS (SELECT doc_id, cast(floor((least(1.0, len(t) / 100.0)
+        |  + cast(len(list_distinct(t)) AS double) / len(t)
+        |  + cast(len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+'))) AS double) / len(t)
+        |  ) / 3.0 * 1000.0) AS bigint) AS q FROM toks),
+        |mem AS (SELECT l.cluster_id, l.doc_id, qu.q
+        |  FROM labels l JOIN qual qu USING (doc_id)),
+        |agg AS (SELECT cluster_id, cast(count(*) AS bigint) AS n_members,
+        |  min(doc_id) AS min_id FROM mem GROUP BY cluster_id),
+        |rk AS (SELECT cluster_id, doc_id, q, row_number() OVER
+        |  (PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) AS rn FROM mem),
+        |k AS (SELECT cluster_id, doc_id AS keeper_doc_id,
+        |  q AS keeper_quality_milli FROM rk WHERE rn = 1)
+        |SELECT a.cluster_id, a.n_members, k.keeper_doc_id,
+        |  k.keeper_quality_milli, a.n_members - 1 AS dropped,
+        |  (k.keeper_doc_id = a.min_id) AS keeper_is_min_id
+        |FROM agg a JOIN k USING (cluster_id) ORDER BY a.cluster_id""".stripMargin
 
   private val AsOfOracleSql: String =
     """WITH p AS (
@@ -1531,8 +1590,70 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim_micro FROM pairs
-        |WHERE sim_micro >= 350000 ORDER BY id_a, id_b""".stripMargin
+        |WHERE sim_micro >= 350000 ORDER BY id_a, id_b""".stripMargin,
+
+    // q83: full value twin. The selection window (ranks 17–24 of the df
+    // census) and every score term are re-derived by DuckDB; the only
+    // transcendental — the 8 idf constants — is computed with DuckDB's own
+    // ln() in this STANDALONE form (floor-flip risk ~1e-7/term) and
+    // injected as literals in the resolved form the gate runs.
+    "q83_bm25_topk" -> bm25OracleSql(
+      """qt AS (SELECT w, cast((r - 17) // 2 AS bigint) AS query_id,
+        |  cast(floor(ln(1.0 + (cast((SELECT n FROM tot) AS double) - df + 0.5)
+        |    / (df + 0.5)) * 1000000.0) AS bigint) AS idf
+        |  FROM ranked WHERE r BETWEEN 17 AND 24)""".stripMargin)
   )
+
+  /** q83 oracle scaffold: everything except the idf derivation — the df
+    * census, the rank-17–24 selection window, the milli-rounded avgdl, the
+    * per-(query, doc, term) tf census, the all-bigint BM25 score and the
+    * per-query top-5 — is fixed; `qtCte` supplies the idf column either
+    * inline (standalone ln()) or as injected literals (resolved form). */
+  private def bm25OracleSql(qtCte: String): String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |tot AS (SELECT cast(count(*) AS bigint) AS n,
+       |  cast(sum(len(t)) AS bigint) AS tt FROM tok),
+       |avm AS (SELECT (tt * 1000) // n AS a FROM tot),
+       |dfc AS (SELECT w, cast(count(*) AS bigint) AS df FROM (
+       |  SELECT doc_id, unnest(list_distinct(t)) AS w FROM tok) GROUP BY w),
+       |ranked AS (SELECT w, df,
+       |  row_number() OVER (ORDER BY df DESC, w ASC) AS r FROM dfc),
+       |$qtCte,
+       |tokd AS (SELECT doc_id, unnest(t) AS w, cast(len(t) AS bigint) AS dl
+       |  FROM tok),
+       |tfq AS (SELECT query_id, doc_id, qt.w AS w, cast(count(*) AS bigint) AS tf,
+       |  max(dl) AS dl, max(idf) AS idf
+       |  FROM tokd JOIN qt USING (w) GROUP BY query_id, doc_id, qt.w),
+       |sc AS (SELECT query_id, doc_id,
+       |  cast(sum((idf * 22 * tf * (SELECT a FROM avm))
+       |    // (10 * (SELECT a FROM avm) * tf + 3 * (SELECT a FROM avm)
+       |       + 9000 * dl)) AS bigint) AS score_micro
+       |  FROM tfq GROUP BY query_id, doc_id),
+       |rk AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
+       |  FROM sc)
+       |SELECT query_id, cast(rn AS bigint) AS rn, doc_id, score_micro FROM rk
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  /** q83 oracle with the 8 idf constants INJECTED (the q65/q74 contract):
+    * the oracle re-derives the df census, the selection window, avgdl, tf
+    * and the scores itself — only the (df → idf_micro) transcendental
+    * lookup arrives as literals, joined on the oracle's OWN df, so a wrong
+    * Spark-side df still breaks the join and fails the gate. */
+  private def bm25OracleResolved(spark: SparkSession, sfDir: String): String = {
+    val (sel, _, _) = graft.queries.TextQueries.bm25Model(spark, sfDir)
+    if (sel.isEmpty) return oracleSql("q83_bm25_topk")
+    val values = sel.map { case (_, d, t) => (d, t) }.distinct
+      .map { case (d, t) => s"(cast($d AS bigint), cast($t AS bigint))" }
+      .mkString(", ")
+    bm25OracleSql(
+      s"""idfv AS (SELECT * FROM (VALUES $values) AS li(c, term)),
+         |qt AS (SELECT w, cast((r - 17) // 2 AS bigint) AS query_id,
+         |  li.term AS idf
+         |  FROM ranked JOIN idfv li ON li.c = ranked.df
+         |  WHERE r BETWEEN 17 AND 24)""".stripMargin)
+  }
 
   /** q68 oracle over the JSONL artifact at `base`: DuckDB's own
     * newline-delimited JSON reader with the SAME explicit column types as
@@ -1675,6 +1796,7 @@ object SparkEntry {
   def oracleSqlResolved(spark: SparkSession, sfDir: String): Map[String, String] =
     oracleSql +
       ("q65_lm_quality" -> lmQualityOracleResolved(spark, sfDir)) +
+      ("q83_bm25_topk" -> bm25OracleResolved(spark, sfDir)) +
       ("q74_dsir_select" -> dsirOracleResolved(spark, sfDir)) +
       ("q76_mixture_weights" -> mixtureOracleResolved(spark, sfDir)) +
       ("q68_jsonl_census" ->

@@ -210,6 +210,90 @@ object DedupClusterQuery {
   def dedupClustersStar(spark: SparkSession, sfDir: String): DataFrame =
     dedupClustersVia(spark, sfDir, connectedComponentsStar(_))
 
+  // ---- q84: canonical survivor selection over near-dup clusters ----
+
+  /** The 8 distinct all-alpha tokens appended to a planted twin: they bump
+    * the q21 quality score (diversity + length-saturation + alpha-ratio all
+    * move up, or hold) while adding only ~10 trigram shingles, so the
+    * twin↔base Jaccard stays ≈0.9 — far above τ=0.5 AND far above the LSH
+    * recall knee (miss probability < 10⁻¹⁴ at b=32, r=4). */
+  private[graft] val QualityPlantSuffix: String =
+    "qkalpha qkbravo qkcharlie qkdelta qkecho qkfoxtrot qkgolf qkhotel"
+
+  /** Keep-best-copy selection over an arbitrary (doc_id, text) frame:
+    * near-dup clusters (the q16 LSH pipeline → q37 connected components),
+    * then ONE survivor per cluster by argmax of the q21 quality score in
+    * integer milli (tie → lowest doc_id). q37 answers "which docs are
+    * duplicates"; this answers the pipeline's next question — "which copy
+    * do you KEEP" — by quality, not by arbitrary id.
+    *
+    * Scale shape: everything up to labels is the audited q16/q37 machinery
+    * (band-bucket join, narrow-id distinct, CC rounds). The quality score
+    * is one codegen map pass over the member docs; the survivor argmax is a
+    * groupBy(cluster) `max(struct(quality, −id))` partial agg — never a
+    * per-cluster window sort. Output is one row per cluster. */
+  private[queries] def qualityKeepersOver(docs: DataFrame): DataFrame = {
+    val pairs = TextQueries.minhashPairsOver(docs)
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .cache()
+    val labels = connectedComponents(edges)
+    // q21's quality formula, floored to integer MILLI so the keeper argmax
+    // and every emitted value are exact bigint comparisons in both engines
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val score = (least(lit(1.0), nTok / 100.0)
+      + size(array_distinct(toks)).cast("double") / nTok
+      + size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).cast("double") / nTok
+      ) / 3.0
+    val qual = docs.select(col("doc_id"),
+      floor(score * 1000.0).cast("long").as("q"))
+    val mem = labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .join(qual, Seq("doc_id"))
+    val out = mem.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q"), (-col("doc_id")).as("nid"),
+          col("doc_id").as("kid"))).as("m"),
+        min(col("doc_id")).as("min_id"))
+      .select(col("cluster_id"), col("n_members"),
+        col("m.kid").as("keeper_doc_id"),
+        col("m.q").as("keeper_quality_milli"),
+        (col("n_members") - 1L).as("dropped"),
+        (col("m.kid") === col("min_id")).as("keeper_is_min_id"))
+      .orderBy(col("cluster_id"))
+    edges.unpersist()
+    pairs.unpersist()
+    out
+  }
+
+  /** q84 gate: [[qualityKeepersOver]] on the driver corpus ∪ two planted
+    * HIGHER-QUALITY twins of the two longest documents (deterministic and
+    * oracle-expressible selection; long bases keep the planted pair's
+    * Jaccard ≈ 0.9, so LSH recall is certain). The twins prove the quality
+    * rule actually fires: their clusters must select the twin — a larger
+    * doc_id than the base — so `keeper_is_min_id` is provably false there,
+    * while equal-quality organic clusters fall back to the lowest id. The
+    * q41/q59/q67/q80 in-gate planting discipline; ids offset by the q80
+    * PlantIdOffset (above any plausible corpus id). */
+  def qualityKeepersGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val lengths = base.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    // bounded driver materialization: exactly 2 ids
+    val plantIds = SketchSelect.topK(lengths, "n", "doc_id", 2L)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val planted = base.filter(col("doc_id").isin(plantIds: _*))
+      .select((col("doc_id") + IncrementalDedup.PlantIdOffset).as("doc_id"),
+        concat(col("text"), lit(" " + QualityPlantSuffix)).as("text"))
+    qualityKeepersOver(base.unionByName(planted))
+  }
+
   private def dedupClustersVia(spark: SparkSession, sfDir: String,
       cc: DataFrame => DataFrame): DataFrame = {
     val pairs = TextQueries.dedupMinhash(spark, sfDir)

@@ -56,7 +56,7 @@ object TextQueries {
     * so the exact-verify stage intersects long arrays instead of
     * re-tokenizing both full texts per candidate pair (the round-1 q16
     * hot-spot: 15.7s, 2nd slowest gate query). */
-  private def minhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
+  private def minhashSigs(docsIn: DataFrame): DataFrame = {
     val sigUdf = udf((text: String) => {
       val sh = TextAnalysis.shingles(text, ShingleN)
       val hashes = new Array[Long](sh.size)
@@ -72,7 +72,7 @@ object TextQueries {
     // most of q16's 18 s at sf0.1. The persisted projection is signatures
     // only (no text), ~1 KB/doc; MEMORY_AND_DISK so a 100× corpus spills
     // instead of evicting.
-    Tables.documents(spark, sfDir)
+    docsIn
       .select(col("doc_id"), sigUdf(col("text")).as("mh"))
       .select(col("doc_id"), col("mh._1").as("bands"), col("mh._2").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -84,8 +84,14 @@ object TextQueries {
     * then the exact set-Jaccard filter. At b=32, r=4 a true τ≥0.9 near-dup
     * is missed with probability < 1e-14 — and this corpus's planted
     * near-dups all sit at J ≥ 0.9 with the next pair below 0.07. */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = minhashDocs(spark, sfDir)
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsOver(Tables.documents(spark, sfDir))
+
+  /** The q16 pipeline over an arbitrary (doc_id, text) frame — the shared
+    * engine for q16/q37/q61 (driver corpus) and q84 (corpus ∪ planted
+    * higher-quality twins). */
+  private[queries] def minhashPairsOver(docsIn: DataFrame): DataFrame = {
+    val docs = minhashSigs(docsIn)
     val buckets = docs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bh")))
     val a = buckets.select(col("band"), col("bh"), col("doc_id").as("id_a"))
@@ -1578,5 +1584,102 @@ object TextQueries {
       .withColumn("jaccard_micro",
         expr("inter_shingles * 1000000 div union_shingles"))
       .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // ---- q83: BM25 ranked keyword retrieval (Robertson et al., TREC-3) ----
+
+  private[graft] val Bm25K = 5
+  private[graft] val Bm25Queries = 4
+  /** Query terms are drawn from ranks 17–24 of the df census — below the
+    * 16-term stopword head the q65 vocabulary models, so the postings
+    * prefilter is genuinely selective instead of matching every document. */
+  private[graft] val Bm25StopHead = 16
+  private val Bm25Salts = 8
+
+  /** Robertson–Spärck Jones idf in integer micro-nats:
+    * floor(ln(1 + (N − df + ½)/(df + ½))·10⁶) — always ≥ 0 (the +1 form).
+    * ONE libm call site (the q65 [[lmTermMicro]] contract), shared by the
+    * operator and the resolved-oracle injection, so a 1-ulp ln divergence
+    * between engines can never flip a floor boundary. */
+  private[graft] def bm25IdfMicro(df: Long, n: Long): Long =
+    math.floor(math.log1p((n - df + 0.5) / (df + 0.5)) * 1e6).toLong
+
+  /** The q83 model inputs, driver-materialized once (all bounded): the 8
+    * selected (term, df, idf_micro) rows in selection-rank order, plus the
+    * corpus doc count and the milli-rounded average doc length. Used by
+    * BOTH the operator and the oracle injection ([[bm25IdfMicro]] is the
+    * shared transcendental site; everything else is re-derived by DuckDB). */
+  def bm25Model(spark: SparkSession, sfDir: String): (Seq[(String, Long, Long)], Long, Long) = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val totals = docs.agg(count(lit(1)).as("n"),
+      sum(size(col("t")).cast("long")).as("tt")).head()
+    val nDocs = totals.getLong(0)
+    val avgDlMilli = totals.getLong(1) * 1000L / nDocs
+    val dfc = docs.select(explode(array_distinct(col("t"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // bounded driver materialization (the q39/q65 discipline): 24 rows
+    val head = SketchSelect.topK(dfc, "df", "w",
+      (Bm25StopHead + 2 * Bm25Queries).toLong).collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("df")))
+      .sortBy { case (w, d) => (-d, w) }
+    val sel = head.slice(Bm25StopHead, Bm25StopHead + 2 * Bm25Queries).toSeq
+    (sel.map { case (w, d) => (w, d, bm25IdfMicro(d, nDocs)) }, nDocs, avgDlMilli)
+  }
+
+  /** q83: BM25 top-k keyword search — the ranked-retrieval face of the
+    * text stack (ANN covers the vector face: q24/q26/q39/q49/q81). Four
+    * 2-term queries over the selective tail of the df census; per (term,
+    * doc) score = idf · tf·(k₁+1)/(tf + k₁·(1−b+b·dl/avgdl)) with the
+    * standard k₁=1.2, b=0.75, summed per document; top-5 per query.
+    *
+    * Cross-engine determinism: with avgdl pre-rounded to MILLI tokens
+    * (avm = ⌊1000·T/N⌋) and k₁, b folded through, the per-term score is the
+    * pure bigint expression ⌊idf_micro·22·tf·avm / (10·avm·tf + 3·avm +
+    * 9000·dl)⌋ — no float anywhere downstream of the one injected ln().
+    * Every factor is corpus-size-INDEPENDENT (idf ≤ ln(1+2N)·10⁶ ≈ 2·10⁷,
+    * tf ≤ dl, avm ≈ 2·10⁵), so the products clear int64 at any corpus.
+    *
+    * Scale shape — an inverted index, not a scan-per-query: the exploded
+    * token stream joins the BROADCAST 8-term query table BEFORE any
+    * shuffle, so only matching postings reach the (query, doc, term) tf
+    * census; docs containing no query term never leave their input
+    * partition. Top-k per query is the q77 two-level salted rank — never
+    * one task per query sorting its full candidate list. */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sel, _, avm) = bm25Model(spark, sfDir)
+    val qdf = broadcast(spark.createDataFrame(sel.zipWithIndex.map {
+      case ((w, _, idf), i) => (w, (i / 2).toLong, idf)
+    }).toDF("w", "query_id", "idf_micro"))
+    val postings = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("w"))
+      .join(qdf, Seq("w")) // inverted-index prefilter: broadcast, pre-shuffle
+      .groupBy(col("query_id"), col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        max(col("idf_micro")).as("idf"))
+    val scored = postings
+      .withColumn("term_score", expr(
+        s"(idf * 22 * tf * cast($avm as bigint)) div " +
+          s"(10 * cast($avm as bigint) * tf + 3 * cast($avm as bigint) + 9000 * dl)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score_micro"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("salt"))
+      .orderBy(desc("score_micro"), asc("doc_id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("score_micro"), asc("doc_id"))
+    scored
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(Bm25Salts)))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= Bm25K)
+      .withColumn("rn", row_number().over(w2).cast("long"))
+      .filter(col("rn") <= Bm25K)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("score_micro"))
+      .orderBy(col("query_id"), col("rn"))
   }
 }

@@ -232,6 +232,20 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q83 postings prefilter is broadcast; top-k is two-level salted") {
+    val p = plan("q83_bm25_topk")
+    // the 8-term query table must reach the exploded token stream as a
+    // broadcast hash join (an inverted-index prefilter, BEFORE any
+    // shuffle); a SortMergeJoin here means the full token stream shuffled
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // level-1 rank within (query_id, salt): the q77 discipline — never one
+    // task per query sorting its whole candidate list
+    assert("windowspecdefinition\\(query_id#\\d+L, salt#\\d+L".r
+      .findFirstIn(p).isDefined, s"salted level-1 window missing:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q67 is join-free: one codegen map pass + the source rollup") {
     val p = plan("q67_pii_census")
     assert(!p.contains("Join"), p)
