@@ -229,7 +229,20 @@ object SparkEntry {
     // prefilter before any shuffle, per-(query, doc, term) tf census,
     // all-bigint BM25 arithmetic (milli-rounded avgdl; one injected ln()),
     // q77-salted two-level top-5 per query.
-    "q83_bm25_topk" -> TextQueries.bm25Search _
+    "q83_bm25_topk" -> TextQueries.bm25Search _,
+    // q84: canonical survivor selection — q37 says which docs are
+    // duplicates; q84 says which copy to KEEP: per near-dup cluster, the
+    // argmax of the q21 quality score in integer milli (tie → lowest id).
+    // Two planted higher-quality twins of the two longest docs prove the
+    // quality rule beats naive min-id selection (keeper_is_min_id = false
+    // exactly there).
+    "q84_quality_keeper" -> DedupClusterQuery.qualityKeepersGate _,
+    // q85: heavy-change detection between adjacent epochs via Count-Sketch
+    // LINEARITY (one signed build pass = the difference sketch); exact
+    // per-user epoch counts + |Δ| top-20 with a planted second-epoch burst,
+    // plus the (est−Δ)²·w ≤ 8·F₂ envelope verdict in pure bigint (the
+    // q32/q60/q64 audit-twin discipline).
+    "q85_heavy_change" -> SketchQueries.heavyChangeUsers _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -712,6 +725,8 @@ object SparkEntry {
 
     "q37_dedup_clusters" -> DedupClustersOracleSql,
 
+    "q84_quality_keeper" -> QualityKeepersOracleSql,
+
     // q61 = q37 through star contraction, row-identical by construction —
     // ONE oracle string bound twice (the q54/q57 discipline)
     "q61_dedup_clusters_star" -> DedupClustersOracleSql,
@@ -737,6 +752,30 @@ object SparkEntry {
     "q29_cs_point" ->
       """SELECT event_type, count(*) AS est_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q85: the oracle re-derives the planted burst, the integer epoch
+    // split and the exact top-20 change census; the sketch-envelope
+    // verdict is asserted as a constant (q32's audit-twin contract —
+    // the Spark side can only emit true when the difference sketch's
+    // estimate genuinely sits inside the Count-Sketch error bound).
+    "q85_heavy_change" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |  FROM events),
+        |ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |  UNION ALL
+        |  SELECT 1000000000000 AS user_id, (SELECT mx FROM b) AS us
+        |  FROM range(500)),
+        |ex AS (SELECT user_id,
+        |  cast(count(CASE WHEN us * 2 < (SELECT mn FROM b) + (SELECT mx FROM b)
+        |    THEN 1 END) AS bigint) AS c1,
+        |  cast(count(CASE WHEN NOT (us * 2 < (SELECT mn FROM b) + (SELECT mx FROM b))
+        |    THEN 1 END) AS bigint) AS c2
+        |  FROM ev GROUP BY user_id)
+        |SELECT cast(user_id AS varchar) AS user_id, c1, c2,
+        |  abs(c1 - c2) AS delta_abs, true AS within_bound
+        |FROM ex ORDER BY delta_abs DESC, cast(user_id AS varchar) ASC
+        |LIMIT 20""".stripMargin,
 
     "q30_mg_topk" ->
       """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count

@@ -439,4 +439,68 @@ object SketchQueries {
           .as("rank_within_bound"))
     ranks.orderBy("p")
   }
+
+  // ---- q85: heavy-change detection between adjacent epochs ----
+
+  /** 500 planted events for a far-above-corpus user id, all in the second
+    * epoch — the change the detector must surface at rank 1 (the
+    * q41/q59/q67/q80/q84 in-gate planting discipline). */
+  private[graft] val HeavyChangePlantId = 1000000000000L
+  private[graft] val HeavyChangeBurst = 500
+
+  /** q85: sketch-based heavy-change detection (Krishnamurthy et al., IMC'03
+    * shape) — which keys changed most between two adjacent time epochs?
+    * The trick is Count-Sketch LINEARITY: sketch(A) − sketch(B) =
+    * sketch(A − B), so ONE build pass over the signed stream (epoch-1
+    * events weight +1, epoch-2 weight −1) yields the difference sketch
+    * directly — no second sketch, no subtraction pass, mergeable across
+    * partitions like any other build.
+    *
+    * Gate output = the DuckDB-derivable exact side (per-user epoch counts
+    * and |Δ| top-20, epoch split by the integer predicate 2·us < min+max —
+    * no division, exact in both engines) + the audit verdict the oracle
+    * asserts as a constant: the difference sketch's estimate must satisfy
+    * the Count-Sketch error envelope (est−Δ)²·width ≤ 8·F₂(Δ), checked in
+    * pure bigint arithmetic with F₂ computed exactly in-plan (the
+    * q32/q60/q64 audit-twin discipline).
+    *
+    * Scale shape: one groupBy(user) for the exact census (persisted for
+    * its two consumers: the F₂ aggregate and the top-20 funnel), one
+    * whole-table sketch aggregate, TakeOrdered top-20, probes against the
+    * broadcast one-row sketch. */
+  def heavyChangeUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      // driver parquet is TIMESTAMP_NTZ; the cast is exact under the
+      // session's UTC timezone (the AsOfJoin discipline)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val burst = spark.range(HeavyChangeBurst.toLong)
+      .crossJoin(broadcast(bounds))
+      .select(lit(HeavyChangePlantId).as("user_id"), col("mx").as("us"))
+    val all = ev.unionByName(burst)
+      .crossJoin(broadcast(bounds))
+      .withColumn("w",
+        when(col("us") * 2 < col("mn") + col("mx"), 1L).otherwise(-1L))
+    // persisted: the exact census feeds the F2 aggregate AND the top-20
+    val exact = all.groupBy(col("user_id"))
+      .agg(sum(when(col("w") === 1L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("w") === -1L, 1L).otherwise(0L)).as("c2"))
+      .withColumn("delta", col("c1") - col("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f2 = exact.agg(sum(col("delta") * col("delta")).as("f2"))
+    val sk = all.agg(
+      cs_sketch(col("user_id").cast("string"), col("w")).as("sk"))
+    exact
+      .select(col("user_id").cast("string").as("user_id"), col("c1"),
+        col("c2"), col("delta"), abs(col("delta")).as("delta_abs"))
+      .orderBy(desc("delta_abs"), asc("user_id"))
+      .limit(20)
+      .crossJoin(broadcast(sk))
+      .crossJoin(broadcast(f2))
+      .withColumn("est_delta", cs_query(col("sk"), col("user_id")))
+      .select(col("user_id"), col("c1"), col("c2"), col("delta_abs"),
+        ((col("est_delta") - col("delta")) * (col("est_delta") - col("delta"))
+          * lit(4096L) <= lit(8L) * col("f2")).as("within_bound"))
+      .orderBy(desc("delta_abs"), asc("user_id"))
+  }
 }

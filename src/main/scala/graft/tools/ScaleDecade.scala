@@ -50,7 +50,10 @@ object ScaleDecade {
       "q79_stream_dedup",
       "q80_incremental_dedup",
       "q81_pq_ann",
-      "q82_stream_incr_dedup")
+      "q82_stream_incr_dedup",
+      "q83_bm25_topk",
+      "q84_quality_keeper",
+      "q85_heavy_change")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

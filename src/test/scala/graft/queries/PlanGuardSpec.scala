@@ -246,6 +246,16 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q85 top-20 funnel is TakeOrdered; sketch and F2 ride broadcasts") {
+    val p = plan("q85_heavy_change")
+    // the change census must funnel through per-partition heaps, never a
+    // full global sort of the per-user frame
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the one-row difference sketch and F2 scalar join as broadcasts
+    assert(!p.contains("SortMergeJoin"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q67 is join-free: one codegen map pass + the source rollup") {
     val p = plan("q67_pii_census")
     assert(!p.contains("Join"), p)
