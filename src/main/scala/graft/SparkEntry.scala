@@ -333,22 +333,40 @@ object SparkEntry {
         |  (node = min(label)) AS is_keeper
         |FROM reach GROUP BY node ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** The q80/q82 delta-snapshot construction, bound ONCE (the q54/q57
+    * discipline) with the planting constants INTERPOLATED from
+    * [[graft.queries.IncrementalDedup]] — the operator and both oracles
+    * can never disagree on the snapshot scheme. Callers append their own
+    * census CTEs after `WITH $IncrDedupDeltaCtes`. */
+  private val IncrDedupDeltaCtes: String = {
+    import graft.queries.IncrementalDedup.{DeltaSource, PlantEvery, PlantIdOffset}
+    s"""base AS (
+       |  SELECT doc_id, text FROM documents WHERE source <> '$DeltaSource'),
+       |delta AS (
+       |  SELECT cast(doc_id AS bigint) AS doc_id, text FROM documents
+       |  WHERE source = '$DeltaSource'
+       |  UNION ALL
+       |  SELECT cast(doc_id AS bigint) + $PlantIdOffset, text FROM base
+       |  WHERE doc_id % $PlantEvery = 0)""".stripMargin
+  }
+
   /** q84 oracle: the q37 recursive-CC scaffold over documents ∪ the two
     * planted higher-quality twins (selection re-derived: the two longest
     * docs by (token count desc, doc_id)), plus the q21 quality formula in
     * integer milli and the per-cluster argmax survivor. All planting
     * constants (suffix tokens, the 10¹² id offset) are literals mirrored
-    * from [[graft.queries.DedupClusterQuery.qualityKeepersGate]]. */
+    * INTERPOLATED from [[graft.queries.DedupClusterQuery.qualityKeepersGate]],
+    * so the operator and the oracle can never disagree on the planting. */
   private val QualityKeepersOracleSql: String =
-    """WITH RECURSIVE base AS (
+    s"""WITH RECURSIVE base AS (
         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         |sel AS (SELECT doc_id FROM base
         |  ORDER BY len(string_split(text, ' ')) DESC, doc_id LIMIT 2),
         |docs2 AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL
-        |  SELECT b.doc_id + 1000000000000,
-        |    b.text || ' qkalpha qkbravo qkcharlie qkdelta qkecho qkfoxtrot qkgolf qkhotel'
+        |  SELECT b.doc_id + ${graft.queries.IncrementalDedup.PlantIdOffset},
+        |    b.text || ' ${graft.queries.DedupClusterQuery.QualityPlantSuffix}'
         |  FROM base b JOIN sel USING (doc_id)),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
@@ -571,14 +589,7 @@ object SparkEntry {
     // verdict is asserted as a constant (Bloom has no false negatives and
     // candidate-bucket pruning cannot lose a candidate).
     "q80_incremental_dedup" ->
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents WHERE source <> 'src19'),
-        |delta AS (
-        |  SELECT cast(doc_id AS bigint) AS doc_id, text FROM documents
-        |  WHERE source = 'src19'
-        |  UNION ALL
-        |  SELECT cast(doc_id AS bigint) + 1000000000000, text FROM base
-        |  WHERE doc_id % 50 = 0),
+      s"""WITH $IncrDedupDeltaCtes,
         |conf AS (
         |  SELECT count(*) AS c FROM delta
         |  WHERE text IN (SELECT text FROM base))
@@ -759,18 +770,19 @@ object SparkEntry {
     // the Spark side can only emit true when the difference sketch's
     // estimate genuinely sits inside the Count-Sketch error bound).
     "q85_heavy_change" ->
-      """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+      s"""WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
         |  FROM events),
         |ev AS (
         |  SELECT user_id, epoch_us(ts) AS us FROM events
         |  UNION ALL
-        |  SELECT 1000000000000 AS user_id, (SELECT mx FROM b) AS us
-        |  FROM range(500)),
+        |  SELECT ${graft.queries.SketchQueries.HeavyChangePlantId} AS user_id,
+        |    (SELECT mx FROM b) AS us
+        |  FROM range(${graft.queries.SketchQueries.HeavyChangeBurst})),
         |ex AS (SELECT user_id,
         |  cast(count(CASE WHEN us * 2 < (SELECT mn FROM b) + (SELECT mx FROM b)
         |    THEN 1 END) AS bigint) AS c1,
-        |  cast(count(CASE WHEN NOT (us * 2 < (SELECT mn FROM b) + (SELECT mx FROM b))
-        |    THEN 1 END) AS bigint) AS c2
+        |  cast(count(*) - count(CASE WHEN us * 2 < (SELECT mn FROM b)
+        |    + (SELECT mx FROM b) THEN 1 END) AS bigint) AS c2
         |  FROM ev GROUP BY user_id)
         |SELECT cast(user_id AS varchar) AS user_id, c1, c2,
         |  abs(c1 - c2) AS delta_abs, true AS within_bound
@@ -798,21 +810,16 @@ object SparkEntry {
     // q82: the oracle re-derives the streamed incremental-dedup census
     // from base ∪ delta in plain SQL — n_delta arrivals, distinct delta
     // texts absent from the base (survivors: first in-horizon occurrence
-    // wins, so the COUNT is arrival-order-free), and the dropped
-    // remainder. Same delta construction as q80, so the batch and
-    // streaming topologies pin the same semantics.
+    // wins, so the COUNT is arrival-order-free; NOT EXISTS, not NOT IN —
+    // a NULL base text must not collapse the census), and the dropped
+    // remainder. ONE shared delta-construction CTE with q80, so the batch
+    // and streaming topologies pin the same snapshot semantics
+    // structurally (the q54/q57 bind-once discipline).
     "q82_stream_incr_dedup" ->
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents WHERE source <> 'src19'),
-        |delta AS (
-        |  SELECT cast(doc_id AS bigint) AS doc_id, text FROM documents
-        |  WHERE source = 'src19'
-        |  UNION ALL
-        |  SELECT cast(doc_id AS bigint) + 1000000000000, text FROM base
-        |  WHERE doc_id % 50 = 0),
+      s"""WITH $IncrDedupDeltaCtes,
         |nd AS (
-        |  SELECT count(DISTINCT text) AS c FROM delta
-        |  WHERE text NOT IN (SELECT text FROM base))
+        |  SELECT count(DISTINCT text) AS c FROM delta d
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = d.text))
         |SELECT (SELECT count(*) FROM delta) AS n_delta,
         |  (SELECT c FROM nd) AS new_distinct,
         |  (SELECT count(*) FROM delta) - (SELECT c FROM nd) AS dropped""".stripMargin,

@@ -233,14 +233,8 @@ object DedupClusterQuery {
     * groupBy(cluster) `max(struct(quality, −id))` partial agg — never a
     * per-cluster window sort. Output is one row per cluster. */
   private[queries] def qualityKeepersOver(docs: DataFrame): DataFrame = {
-    val pairs = TextQueries.minhashPairsOver(docs)
-      .select(col("id_a"), col("id_b"))
-      .cache()
-    val edges = pairs
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst")
-      .cache()
-    val labels = connectedComponents(edges)
+    val (labels, release) =
+      clusterLabels(TextQueries.minhashPairsOver(docs), connectedComponents(_))
     // q21's quality formula, floored to integer MILLI so the keeper argmax
     // and every emitted value are exact bigint comparisons in both engines
     val toks = split(col("text"), " ")
@@ -265,9 +259,24 @@ object DedupClusterQuery {
         (col("n_members") - 1L).as("dropped"),
         (col("m.kid") === col("min_id")).as("keeper_is_min_id"))
       .orderBy(col("cluster_id"))
-    edges.unpersist()
-    pairs.unpersist()
+    release()
     out
+  }
+
+  /** The shared pair-graph → CC scaffold (q37/q61/q84): symmetrize the
+    * (id_a, id_b) pairs, cache both frames for the CC loop's repeated
+    * passes, run the given CC variant, and hand back the labels plus a
+    * release hook for the caches. ONE implementation, so a scaffold fix
+    * (cache lifecycle, checkpointing, CC variant) can never diverge
+    * between the cluster gates. */
+  private def clusterLabels(pairsIn: DataFrame,
+      cc: DataFrame => DataFrame): (DataFrame, () => Unit) = {
+    val pairs = pairsIn.select(col("id_a"), col("id_b")).cache()
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .cache()
+    (cc(edges), () => { edges.unpersist(); pairs.unpersist() })
   }
 
   /** q84 gate: [[qualityKeepersOver]] on the driver corpus ∪ two planted
@@ -296,20 +305,13 @@ object DedupClusterQuery {
 
   private def dedupClustersVia(spark: SparkSession, sfDir: String,
       cc: DataFrame => DataFrame): DataFrame = {
-    val pairs = TextQueries.dedupMinhash(spark, sfDir)
-      .select(col("id_a"), col("id_b"))
-      .cache()
-    val edges = pairs
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst")
-      .cache()
-    val labels = cc(edges)
+    val (labels, release) =
+      clusterLabels(TextQueries.dedupMinhash(spark, sfDir), cc)
     val out = labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
       .orderBy(col("cluster_id"), col("doc_id"))
-    edges.unpersist()
-    pairs.unpersist()
+    release()
     out
   }
 }

@@ -322,15 +322,20 @@ object TextQueries {
       // selectivity arm, evaluated ONLY for big blocks: one linear pass
       // over the per-doc distinct bigram arrays for (avg set size,
       // distinct postings per block); an empty corpus aggregates avg to
-      // null → dispatch tiled (nothing to win either way)
-      def prefixSelective: Boolean = {
+      // null → dispatch tiled (nothing to win either way). The bigram
+      // tower is built (and persisted) ONCE here and handed to whichever
+      // path wins — the estimate and the join share the frame instead of
+      // re-running the split/zip/hash tower (the round-1 q16 disease, in
+      // dispatcher form: caught by round-6 review).
+      if (avgBlock > PrefixMinAvgBlockDocs) {
         val bd = bigramDocs(spark, sfDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sel = bd
           .select(col("source"), col("doc_id"), explode(col("bigrams")).as("bg"))
           .agg(approx_count_distinct(struct(col("source"), col("bg"))).as("d"),
             count(lit(1)).as("elems"),
             approx_count_distinct(col("doc_id")).as("docs")).head()
-        sel.getLong(2) > 0L && {
+        val selective = sel.getLong(2) > 0L && {
           val distinctPerBlock = sel.getLong(0).toDouble / g
           // true mean set size = elements / docs (an avg over exploded
           // rows would be size-WEIGHTED — E[m²]/E[m], not E[m])
@@ -339,10 +344,9 @@ object TextQueries {
           distinctPerBlock >=
             PrefixMinDistinctPerPrefixSq * prefixTokens * prefixTokens
         }
-      }
-      if (avgBlock > PrefixMinAvgBlockDocs && prefixSelective)
-        ngramJaccardPrefix(spark, sfDir, tMicro)
-      else ngramJaccardTiled(spark, sfDir, tMicro)
+        if (selective) ngramJaccardPrefixOver(bd, tMicro)
+        else ngramJaccardTiledOver(bd, tMicro)
+      } else ngramJaccardTiled(spark, sfDir, tMicro)
     }
   }
 
@@ -385,13 +389,18 @@ object TextQueries {
     * of the (narrow) signature table through the shuffle; parallelism
     * ~G²/2× per block. The size-ratio prune is integer-exact:
     * J ≥ t ⟹ t ≤ min/max ⟹ 10⁶·min(|x|,|y|) ≥ t·10⁶·max. */
-  private[queries] def ngramJaccardTiled(spark: SparkSession, sfDir: String, tMicro: Long): DataFrame = {
+  private[queries] def ngramJaccardTiled(spark: SparkSession, sfDir: String, tMicro: Long): DataFrame =
     // persisted: PairTiling's left and right replication branches both read
     // it — uncached, the split/zip/hash bigram tower runs twice per pass
     // (cache lifecycle per the priorityStratumSurvivors note; gate runners
     // clearCache between queries)
-    val docs = bigramDocs(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ngramJaccardTiledOver(bigramDocs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), tMicro)
+
+  /** Tiled path over an already-built (persisted) bigram frame — shared by
+    * the direct entry above and the dispatcher, which reuses the frame it
+    * already built for the selectivity estimate. */
+  private def ngramJaccardTiledOver(docs: DataFrame, tMicro: Long): DataFrame = {
     val pairs = PairTiling.allPairs(docs, "doc_id",
         Seq("source"), g = JaccardTileG)
       .filter(least(col("n_a"), col("n_b")) * 1000000L >=
@@ -419,12 +428,16 @@ object TextQueries {
     *    pairs where ANY matched occurrence passes is recall-1 and strictly
     *    tighter than prefix-only;
     * 4. distinct surviving pairs, re-join sets, exact verify. */
-  private[queries] def ngramJaccardPrefix(spark: SparkSession, sfDir: String, tMicro: Long): DataFrame = {
-    val docs = bigramDocs(spark, sfDir)
-      // persisted: referenced by the df-count pass, the prefix pass and both
-      // verify branches — uncached, the split/zip/hash tower re-runs per
-      // branch (the round-1 q16 disease)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private[queries] def ngramJaccardPrefix(spark: SparkSession, sfDir: String, tMicro: Long): DataFrame =
+    // persisted: referenced by the df-count pass, the prefix pass and both
+    // verify branches — uncached, the split/zip/hash tower re-runs per
+    // branch (the round-1 q16 disease)
+    ngramJaccardPrefixOver(bigramDocs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), tMicro)
+
+  /** Prefix path over an already-built (persisted) bigram frame — shared
+    * by the direct entry above and the dispatcher. */
+  private def ngramJaccardPrefixOver(docs: DataFrame, tMicro: Long): DataFrame = {
     val ex = docs.select(col("source"), col("doc_id"), explode(col("bigrams")).as("bg"))
     val dfreq = ex.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     // Only df>1 tokens can move a row off the (df=1, bg) default order, so
