@@ -242,7 +242,12 @@ object SparkEntry {
     // per-user epoch counts + |Δ| top-20 with a planted second-epoch burst,
     // plus the (est−Δ)²·w ≤ 8·F₂ envelope verdict in pure bigint (the
     // q32/q60/q64 audit-twin discipline).
-    "q85_heavy_change" -> SketchQueries.heavyChangeUsers _
+    "q85_heavy_change" -> SketchQueries.heavyChangeUsers _,
+    // q86: priority sampling (Duffield–Lund–Thorup) — the WEIGHTED sample
+    // leg next to q47's uniform stratified sample: top-k by the exact
+    // integer priority ⌊10³·w·2³²/u⌋ (u = md5-derived, the q47 seedless
+    // discipline) + the unbiased ŵ = max(w, τ) estimator, all bigint.
+    "q86_priority_sample" -> TextQueries.prioritySample _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -763,6 +768,30 @@ object SparkEntry {
     "q29_cs_point" ->
       """SELECT event_type, count(*) AS est_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q86: FULL value twin — u (hex-char fold == Spark's conv), the milli
+    // priorities, the rank order, τ and the DLT estimator are all exact
+    // bigint arithmetic DuckDB re-derives end-to-end.
+    "q86_priority_sample" ->
+      s"""WITH d AS (SELECT doc_id, cast(n_chars AS bigint) AS w
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |s AS (SELECT doc_id, w,
+        |  list_reduce(list_prepend(0, list_transform(
+        |    string_split(substr(md5(cast(doc_id AS varchar)), 1, 8), ''),
+        |    c -> strpos('0123456789abcdef', c) - 1)),
+        |    (acc, x) -> acc * 16 + x) + 1 AS u
+        |  FROM d),
+        |p AS (SELECT doc_id, w, u,
+        |  (w * 4294967296 * 1000) // u AS p_milli FROM s),
+        |rk AS (SELECT *, row_number() OVER
+        |  (ORDER BY p_milli DESC, doc_id) AS rn FROM p),
+        |tau AS (SELECT p_milli AS tau_milli FROM rk
+        |  WHERE rn = ${graft.queries.TextQueries.PrioritySampleK + 1})
+        |SELECT cast(rn AS bigint) AS smp_rank, doc_id, w, u, p_milli,
+        |  greatest(w * 1000, tau_milli) AS w_hat_milli
+        |FROM rk CROSS JOIN tau
+        |WHERE rn <= ${graft.queries.TextQueries.PrioritySampleK}
+        |ORDER BY rn""".stripMargin,
 
     // q85: the oracle re-derives the planted burst, the integer epoch
     // split and the exact top-20 change census; the sketch-envelope

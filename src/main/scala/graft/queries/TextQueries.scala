@@ -1599,6 +1599,52 @@ object TextQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  // ---- q86: priority sampling (Duffield–Lund–Thorup, JACM'07) ----
+
+  private[graft] val PrioritySampleK = 20
+
+  /** q86: weighted sample of documents ∝ length — the token-budget
+    * sampling primitive (q47 is the UNIFORM stratified leg; this is the
+    * weighted leg): priority sampling takes the top-k items by priority
+    * qᵢ = wᵢ/uᵢ (uᵢ uniform in (0,1]) and estimates each sampled weight as
+    * ŵᵢ = max(wᵢ, τ) with τ = the (k+1)-th priority — the DLT estimator,
+    * unbiased for any weight sequence and provably near-optimal variance.
+    *
+    * Cross-engine determinism: uᵢ = (first 8 md5 hex digits of the doc id,
+    * as an integer) + 1 ∈ [1, 2³²] — the q47 seedless-hash-priority
+    * discipline, exact in both engines (Spark `conv`; DuckDB hex-char
+    * fold). Priorities are compared as the MILLI-floored integer
+    * qᵢ = ⌊10³·wᵢ·2³²/uᵢ⌋ (one bigint division; w ≤ doc-length bound
+    * ~10³, so the product stays ≤ ~10¹⁶ at ANY corpus size — w is a
+    * per-doc bound, not a corpus bound), tie → lowest doc_id; τ and ŵ are
+    * the same milli units, so every emitted value is exact bigint.
+    *
+    * Scale shape: one codegen map pass (md5 + div), one TakeOrdered(k+1)
+    * funnel (per-partition heaps — never a global sort), then arithmetic
+    * on the k+1 collected-size frame and a broadcast of the one-row τ. */
+  def prioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = PrioritySampleK
+    val scored = Tables.documents(spark, sfDir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) + 1"))
+      .withColumn("p_milli", expr("w * 4294967296 * 1000 div u"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(desc("p_milli"), asc("doc_id"))
+    val top = scored
+      .orderBy(desc("p_milli"), asc("doc_id")).limit(k + 1)
+      .withColumn("rn", row_number().over(w1).cast("long"))
+    val tau = top.filter(col("rn") === (k + 1).toLong)
+      .select(col("p_milli").as("tau_milli"))
+    top.filter(col("rn") <= k.toLong)
+      .crossJoin(broadcast(tau))
+      .select(col("rn").as("smp_rank"), col("doc_id"), col("w"), col("u"),
+        col("p_milli"),
+        greatest(col("w") * 1000L, col("tau_milli")).as("w_hat_milli"))
+      .orderBy(col("smp_rank"))
+  }
+
   // ---- q83: BM25 ranked keyword retrieval (Robertson et al., TREC-3) ----
 
   private[graft] val Bm25K = 5

@@ -53,7 +53,8 @@ object ScaleDecade {
       "q82_stream_incr_dedup",
       "q83_bm25_topk",
       "q84_quality_keeper",
-      "q85_heavy_change")
+      "q85_heavy_change",
+      "q86_priority_sample")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

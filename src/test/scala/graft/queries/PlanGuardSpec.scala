@@ -256,6 +256,14 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q86 sample funnel is TakeOrdered over one codegen map pass") {
+    val p = plan("q86_priority_sample")
+    // top-(k+1) by priority must funnel through per-partition heaps —
+    // never a full global sort of the scored corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q67 is join-free: one codegen map pass + the source rollup") {
     val p = plan("q67_pii_census")
     assert(!p.contains("Join"), p)
