@@ -123,7 +123,10 @@ object GraftExtensions {
     (FunctionIdentifier("intersect_count_sorted"),
       new ExpressionInfo(classOf[graft.agg.IntersectCountSorted].getName,
         "intersect_count_sorted"),
-      graft.agg.VectorExpressions.intersectCountBuilder))
+      graft.agg.VectorExpressions.intersectCountBuilder),
+    (FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[graft.agg.CdcCuts].getName, "cdc_cuts"),
+      graft.agg.StringExpressions.cdcCutsBuilder))
 
   /** Register the same functions into an already-running session, plus the
     * full udaf build surface via [[graft.agg.SketchFunctions.register]]

@@ -247,7 +247,16 @@ object SparkEntry {
     // leg next to q47's uniform stratified sample: top-k by the exact
     // integer priority ⌊10³·w·2³²/u⌋ (u = md5-derived, the q47 seedless
     // discipline) + the unbiased ŵ = max(w, τ) estimator, all bigint.
-    "q86_priority_sample" -> TextQueries.prioritySample _
+    "q86_priority_sample" -> TextQueries.prioritySample _,
+    // q87: BPE merge learning (Sennrich 2016) — the first 6 tokenizer
+    // merges from the frequency-weighted vocabulary; corpus touched ONCE
+    // (wordcount shuffle), rounds run over the vocab, one collected row
+    // per round; the oracle unrolls all 6 rounds as CTEs.
+    "q87_bpe_merges" -> TextQueries.bpeMerges _,
+    // q88: content-defined chunking dedup (LBFS boundary rule, char-fold
+    // window hash) — chunk-level shared-mass census that survives
+    // insertions; one map-side chunking pass + one digest-keyed shuffle.
+    "q88_cdc_chunks" -> TextQueries.cdcChunkDedup _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -792,6 +801,65 @@ object SparkEntry {
         |FROM rk CROSS JOIN tau
         |WHERE rn <= ${graft.queries.TextQueries.PrioritySampleK}
         |ORDER BY rn""".stripMargin,
+
+    // q87: FULL value twin — the oracle unrolls all R merge rounds as
+    // CTEs: per-round pair census over the weighted vocab encoding,
+    // argmax with the same (count DESC, pair ASC) tie-break, and the
+    // merge applied via replace()'s leftmost non-overlapping scan —
+    // bit-identical greedy semantics in both engines.
+    "q87_bpe_merges" -> {
+      val R = graft.queries.TextQueries.BpeMergeRounds
+      val rounds = (1 to R).map { r =>
+        s"""p$r AS (SELECT pr, cast(sum(c) AS bigint) AS pc FROM (
+           |  SELECT unnest(list_transform(range(1, len(string_split(e, ' '))),
+           |    i -> string_split(e, ' ')[i] || ' ' || string_split(e, ' ')[i+1])) AS pr, c
+           |  FROM e${r - 1}) GROUP BY pr),
+           |t$r AS (SELECT pr, pc FROM p$r ORDER BY pc DESC, pr LIMIT 1),
+           |e$r AS (SELECT replace(e, (SELECT pr FROM t$r),
+           |  replace((SELECT pr FROM t$r), ' _', '')) AS e, c FROM e${r - 1})""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to R).map { r =>
+        s"SELECT cast($r AS bigint) AS rnd, pr AS pair, " +
+          s"replace(replace(pr, ' _', ''), '_', '') AS new_symbol, pc AS pair_count FROM t$r"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH wc AS (SELECT w, count(*) AS c FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |  WHERE text IS NOT NULL) WHERE w <> '' GROUP BY w),
+         |e0 AS (SELECT trim(regexp_replace(w, '(.)', '_\\1 ', 'g')) AS e, c FROM wc),
+         |$rounds
+         |SELECT * FROM ($sel) ORDER BY rnd""".stripMargin
+    },
+
+    // q88: FULL value twin — DuckDB re-derives the window fold, the cut
+    // positions, the chunk substrings, the md5 census and the shared-mass
+    // rollup end-to-end (unicode(c) == Spark's ascii(c) on this corpus's
+    // ASCII text, the q74 precedent).
+    "q88_cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, text AS s, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 1),
+        |b AS (SELECT doc_id, s, n,
+        |  CASE WHEN n >= ${graft.queries.TextQueries.CdcWindow} THEN
+        |    list_filter(range(${graft.queries.TextQueries.CdcWindow}, n + 1), i ->
+        |      (list_reduce(list_prepend(cast(0 AS bigint),
+        |         list_transform(string_split(substr(s, i - ${graft.queries.TextQueries.CdcWindow - 1}, ${graft.queries.TextQueries.CdcWindow}), ''),
+        |           c -> cast(unicode(c) AS bigint))),
+        |         (acc, x) -> (acc * 131 + x) % 4093)) % ${graft.queries.TextQueries.CdcDiv} = 0)
+        |  ELSE cast([] AS bigint[]) END AS bs FROM d),
+        |cu AS (SELECT doc_id, s,
+        |  list_concat(list_concat([cast(0 AS bigint)], bs),
+        |    CASE WHEN len(bs) > 0 AND bs[len(bs)] = n THEN cast([] AS bigint[])
+        |         ELSE [cast(n AS bigint)] END) AS cuts FROM b),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(1, len(cuts)),
+        |  j -> substr(s, cast(cuts[j] + 1 AS int), cast(cuts[j + 1] - cuts[j] AS int)))) AS ch FROM cu),
+        |g AS (SELECT md5(ch) AS h, count(*) AS c, count(DISTINCT doc_id) AS nd,
+        |  min(length(ch)) AS chlen FROM ch GROUP BY 1),
+        |t AS (SELECT count(*) AS n_docs FROM d)
+        |SELECT cast(n_docs AS bigint) AS n_docs,
+        |  cast(sum(c) AS bigint) AS total_chunks,
+        |  cast(count(*) AS bigint) AS distinct_chunks,
+        |  cast(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS bigint) AS cross_doc_chunks,
+        |  cast(sum(CASE WHEN nd >= 2 THEN chlen ELSE 0 END) AS bigint) AS cross_doc_chars
+        |FROM g CROSS JOIN t GROUP BY n_docs""".stripMargin,
 
     // q85: the oracle re-derives the planted burst, the integer epoch
     // split and the exact top-20 change census; the sketch-envelope

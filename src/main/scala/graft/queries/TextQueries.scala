@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
 import graft.sketch.{MinHash, SimHash, XxHash64}
@@ -1643,6 +1643,156 @@ object TextQueries {
         col("p_milli"),
         greatest(col("w") * 1000L, col("tau_milli")).as("w_hat_milli"))
       .orderBy(col("smp_rank"))
+  }
+
+  // ---- q87: BPE merge learning (Sennrich et al., ACL 2016) ----
+
+  private[graft] val BpeMergeRounds = 6
+
+  /** Adjacent-symbol pairs of a marker-encoded word ("_j _o _i _n" →
+    * ["_j _o", "_o _i", "_i _n"]). EVERY adjacent occurrence counts — the
+    * BPE census rule ("aaa" yields (a,a) twice) — while the merge APPLY
+    * step is leftmost non-overlapping; both engines' `replace` implements
+    * exactly that greedy scan. The `_` marker prefixes every symbol, so a
+    * pair pattern can never false-match the tail of a longer symbol
+    * ("_xa _b" does not contain "_a _b"). */
+  private def bpeAdjacentPairs: Column = expr(
+    """case when size(split(e, ' ')) >= 2 then
+      |  transform(sequence(1, size(split(e, ' ')) - 1),
+      |    i -> concat(element_at(split(e, ' '), i), ' ',
+      |                element_at(split(e, ' '), i + 1)))
+      |else array() end""".stripMargin)
+
+  /** One weighted pair census over an encoding frame `(e, c)` — vocab-sized
+    * input, one small shuffle. */
+  private[graft] def bpePairCensus(enc: DataFrame): DataFrame =
+    enc.select(explode(bpeAdjacentPairs).as("pr"), col("c"))
+      .groupBy(col("pr")).agg(sum(col("c")).as("pc"))
+
+  /** The corpus-weighted encoded vocabulary `(e, c)`: ONE corpus pass
+    * (word census shuffle), then each distinct word rendered as
+    * marker-prefixed single-char symbols ("join" → "_j _o _i _n"). */
+  private[graft] def bpeEncodedVocab(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(expr("trim(regexp_replace(w, '(.)', '_$1 '))").as("e"), col("c"))
+
+  /** The merge loop over any weighted encoding frame (split out so specs
+    * can drive hand fixtures): each round = pair census → global argmax
+    * (max count, tie → lexicographically smallest pair) → greedy leftmost
+    * merge application via `replace`. Returns (rnd, pair, new_symbol,
+    * pair_count) — ONE collected row per round. */
+  private[graft] def bpeMergesOn(enc0: DataFrame, rounds: Int): DataFrame = {
+    val spark = enc0.sparkSession
+    import spark.implicits._
+    val base = enc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var enc = base
+    val merges = (1 to rounds).map { r =>
+      val top = bpePairCensus(enc)
+        .orderBy(desc("pc"), asc("pr")).limit(1).collect()(0)
+      val pr = top.getString(0)
+      val merged = pr.replace(" _", "") // "_a _b" → "_ab"
+      enc = enc.withColumn("e", replace(col("e"), lit(pr), lit(merged)))
+      (r.toLong, pr, merged.replace("_", ""), top.getLong(1))
+    }
+    base.unpersist()
+    merges.toDF("rnd", "pair", "new_symbol", "pair_count").orderBy(col("rnd"))
+  }
+
+  /** q87: learn the first R byte-pair-encoding merges from the corpus —
+    * the tokenizer-training face of the pipeline (q20 counts tokens; this
+    * LEARNS the merge table those tokenizers are built from). Classic BPE
+    * (Sennrich et al. 2016): operate on the frequency-weighted DISTINCT
+    * word vocabulary, repeatedly merging the globally most frequent
+    * adjacent symbol pair (deterministic tie-break: smallest pair string).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-census shuffle —
+    * the standard wordcount); every merge round then runs over the
+    * weighted vocabulary, which is corpus-size-INDEPENDENT up to Heaps'
+    * law growth (≪ corpus, broadcast-scale in production). Driver
+    * residency is ONE row per round. No window, no global sort — the
+    * per-round argmax funnels through TakeOrdered per-partition maxima.
+    *
+    * Cross-engine exactness: encodings and pair patterns are plain
+    * strings, counts are bigint, and merge application is `replace`'s
+    * leftmost non-overlapping scan in BOTH engines — the oracle unrolls
+    * all R rounds as CTEs and re-derives every pair, count and symbol. */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMergesOn(bpeEncodedVocab(spark, sfDir), BpeMergeRounds)
+
+  // ---- q88: content-defined chunking dedup (Muthitacharoen et al., SOSP'01) ----
+
+  private[graft] val CdcWindow = 8
+  private[graft] val CdcDiv = 16
+
+  /** Per-doc content-defined chunks: position i (1-based, i ≥ 8) is a cut
+    * iff the char-fold hash of the trailing 8-char window ≡ 0 (mod 16) —
+    * the LBFS/rsync boundary rule with the project's established
+    * cross-engine fold (h·131 + code) mod 4093. Boundaries depend ONLY on
+    * local content, so an insertion reshapes at most the chunks whose
+    * windows overlap the edit — the property that lets chunk-level dedup
+    * catch near-dups that fixed-size blocking misses (q15 needs byte
+    * identity; q69 needs exact 8-gram token runs; this survives arbitrary
+    * prefix/infix edits at CHAR granularity).
+    *
+    * One codegen map pass, no shuffle: chunks explode from a per-row
+    * boundary scan. The cut positions come from the native [[graft.agg.CdcCuts]]
+    * expression — a genuinely ROLLING O(n) fold with `doGenCode` (ring
+    * buffer, no per-position allocation). The HOF twin below recomputes
+    * the fold per position (O(8·n) work, a window array allocated per
+    * position — it measured 4.3× across the q88 decade before the fusion)
+    * and stays as the bit-parity pin (StringExprSpec). */
+  private[graft] def cdcCutsHof: Column = expr(
+    s"""case when n >= $CdcWindow then
+       |  filter(sequence($CdcWindow, n), i ->
+       |    aggregate(
+       |      filter(split(substring(s, i - ${CdcWindow - 1}, $CdcWindow), ''), c -> c != ''),
+       |      cast(0 as bigint),
+       |      (acc, c) -> (acc * 131 + ascii(c)) % 4093) % $CdcDiv = 0)
+       |else array() end""".stripMargin)
+
+  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
+    graft.agg.StringExpressions.register(SparkSession.active)
+    docs.select(col("doc_id"), col("text").as("s"), length(col("text")).as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("bs",
+        call_function("cdc_cuts", col("s"), lit(CdcWindow), lit(CdcDiv)))
+      .withColumn("cuts", expr(
+        """concat(array(0), bs,
+          |  case when size(bs) > 0 and element_at(bs, -1) = n
+          |       then array() else array(n) end)""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(cuts) - 1),
+          |  j -> substring(s, element_at(cuts, j) + 1,
+          |       element_at(cuts, j + 1) - element_at(cuts, j)))""".stripMargin)).as("ch"))
+  }
+
+  /** q88: chunk-level dedup census over CDC chunks — total/distinct chunk
+    * counts plus the cross-document shared mass (distinct chunks seen in
+    * ≥2 docs and their character volume). The census groups on the 128-bit
+    * digest of the chunk, never the chunk text (the q66 small-row shuffle
+    * discipline — md5 here because the oracle must re-derive it; at 100 TB
+    * the same plan ships 16-byte digests through ONE shuffle and the doc
+    * text never leaves the map side). */
+  def cdcChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val byChunk = cdcChunkRows(docs)
+      .groupBy(md5(col("ch")).as("h"))
+      .agg(count(lit(1)).as("c"),
+        countDistinct(col("doc_id")).as("nd"),
+        min(length(col("ch"))).cast("long").as("chlen"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    val census = byChunk.agg(
+      sum(col("c")).as("total_chunks"),
+      count(lit(1)).as("distinct_chunks"),
+      sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("cross_doc_chunks"),
+      sum(when(col("nd") >= 2, col("chlen")).otherwise(0L)).as("cross_doc_chars"))
+    totals.crossJoin(census)
   }
 
   // ---- q83: BM25 ranked keyword retrieval (Robertson et al., TREC-3) ----

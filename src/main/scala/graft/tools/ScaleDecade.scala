@@ -54,7 +54,9 @@ object ScaleDecade {
       "q83_bm25_topk",
       "q84_quality_keeper",
       "q85_heavy_change",
-      "q86_priority_sample")
+      "q86_priority_sample",
+      "q87_bpe_merges",
+      "q88_cdc_chunks")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

@@ -256,6 +256,27 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q87 merge-round argmax funnels through TakeOrdered over the vocab census") {
+    val enc = TextQueries.bpeEncodedVocab(spark, sf("sf0.001"))
+    val p = TextQueries.bpePairCensus(enc)
+      .orderBy(desc("pc"), asc("pr")).limit(1)
+      .queryExecution.executedPlan.toString
+    // per-round top-1 must be per-partition maxima + a 1-row driver fetch,
+    // never a global sort of the pair census
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("q88 chunk census is one digest-keyed shuffle, no window, no sort-merge join") {
+    val p = plan("q88_cdc_chunks")
+    // chunking is a map-side HOF explode; the only shuffle keys the md5
+    // digest census; the final 1-row × 1-row combine must broadcast
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q86 sample funnel is TakeOrdered over one codegen map pass") {
     val p = plan("q86_priority_sample")
     // top-(k+1) by priority must funnel through per-partition heaps —
