@@ -256,7 +256,18 @@ object SparkEntry {
     // q88: content-defined chunking dedup (LBFS boundary rule, char-fold
     // window hash) — chunk-level shared-mass census that survives
     // insertions; one map-side chunking pass + one digest-keyed shuffle.
-    "q88_cdc_chunks" -> TextQueries.cdcChunkDedup _
+    "q88_cdc_chunks" -> TextQueries.cdcChunkDedup _,
+    // q89: apply the learned BPE merges back to the corpus (the tokenize
+    // face closing q87's learn loop) — per-doc post-BPE token census +
+    // milli compression ratio via the word→symbol-count dimension join.
+    "q89_bpe_tokenize" -> TextQueries.bpeTokenize _,
+    // q90: the QUANTILE face of the streaming layer — q08's KLL build run
+    // THROUGH complete-mode micro-batches (merge monoid, compaction-free
+    // at the gate k); shares q08's oracle verbatim. The streaming quartet:
+    // stateful window (q75), heavy hitters (q78), dedup (q79/q82),
+    // quantiles (q90).
+    "q90_stream_kll" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamSketch.streamKllPrice(s, d))
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -282,6 +293,19 @@ object SparkEntry {
   private val TopKUsersOracleSql: String =
     """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count
       |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin
+
+  /** q08/q90 share ONE oracle string: the streamed KLL build is
+    * sketch-identical to the batch build (merge monoid, compaction-free
+    * at the gate k), and binding the SQL once makes that sharing
+    * structural. */
+  private val KllPriceOracleSql: String =
+    """SELECT * FROM (
+      | SELECT cast(0.01 AS double) AS p, quantile_disc(l_extendedprice, 0.01) AS quantile_value FROM lineitem
+      | UNION ALL SELECT cast(0.25 AS double), quantile_disc(l_extendedprice, 0.25) FROM lineitem
+      | UNION ALL SELECT cast(0.5 AS double), quantile_disc(l_extendedprice, 0.5) FROM lineitem
+      | UNION ALL SELECT cast(0.75 AS double), quantile_disc(l_extendedprice, 0.75) FROM lineitem
+      | UNION ALL SELECT cast(0.99 AS double), quantile_disc(l_extendedprice, 0.99) FROM lineitem
+      |) ORDER BY p""".stripMargin
 
   /** q15/q79 share ONE oracle string: the streamed dedup census is
     * value-identical to the batch census (see the q79 scaladoc), and
@@ -512,14 +536,7 @@ object SparkEntry {
         | (SELECT count(*) FROM orders WHERE o_custkey IN
         |   (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)) AS true_positives""".stripMargin,
 
-    "q08_kll_price" ->
-      """SELECT * FROM (
-        | SELECT cast(0.01 AS double) AS p, quantile_disc(l_extendedprice, 0.01) AS quantile_value FROM lineitem
-        | UNION ALL SELECT cast(0.25 AS double), quantile_disc(l_extendedprice, 0.25) FROM lineitem
-        | UNION ALL SELECT cast(0.5 AS double), quantile_disc(l_extendedprice, 0.5) FROM lineitem
-        | UNION ALL SELECT cast(0.75 AS double), quantile_disc(l_extendedprice, 0.75) FROM lineitem
-        | UNION ALL SELECT cast(0.99 AS double), quantile_disc(l_extendedprice, 0.99) FROM lineitem
-        |) ORDER BY p""".stripMargin,
+    "q08_kll_price" -> KllPriceOracleSql,
 
     "q09_kll_nchars" ->
       """SELECT * FROM (
@@ -830,6 +847,42 @@ object SparkEntry {
          |SELECT * FROM ($sel) ORDER BY rnd""".stripMargin
     },
 
+    // q89: FULL value twin — the oracle re-learns the merge table (the
+    // q87 CTE chain, here carrying w through the rounds), derives each
+    // word's final symbol count, and re-joins it against its own
+    // per-(doc, word) census; the milli ratio is integral division in
+    // both engines.
+    "q89_bpe_tokenize" -> {
+      val R = graft.queries.TextQueries.BpeMergeRounds
+      val rounds = (1 to R).map { r =>
+        s"""p$r AS (SELECT pr, cast(sum(c) AS bigint) AS pc FROM (
+           |  SELECT unnest(list_transform(range(1, len(string_split(e, ' '))),
+           |    i -> string_split(e, ' ')[i] || ' ' || string_split(e, ' ')[i+1])) AS pr, c
+           |  FROM e${r - 1}) GROUP BY pr),
+           |t$r AS (SELECT pr, pc FROM p$r ORDER BY pc DESC, pr LIMIT 1),
+           |e$r AS (SELECT w, replace(e, (SELECT pr FROM t$r),
+           |  replace((SELECT pr FROM t$r), ' _', '')) AS e, c FROM e${r - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wc AS (SELECT w, count(*) AS c FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |  WHERE text IS NOT NULL) WHERE w <> '' GROUP BY w),
+         |e0 AS (SELECT w, trim(regexp_replace(w, '(.)', '_\\1 ', 'g')) AS e, c FROM wc),
+         |$rounds,
+         |v AS (SELECT w, cast(len(string_split(e, ' ')) AS bigint) AS sym,
+         |  cast(length(w) AS bigint) AS wlen FROM e$R),
+         |pw AS (SELECT doc_id, w, count(*) AS cnt FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |  WHERE text IS NOT NULL) WHERE w <> '' GROUP BY doc_id, w),
+         |j AS (SELECT doc_id,
+         |  cast(sum(cnt) AS bigint) AS n_words,
+         |  cast(sum(cnt * sym) AS bigint) AS n_tok_bpe,
+         |  cast(sum(cnt * wlen) AS bigint) AS n_word_chars
+         |  FROM pw JOIN v USING (w) GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_tok_bpe, n_word_chars,
+         |  (n_word_chars * 1000) // n_tok_bpe AS chars_per_tok_milli
+         |FROM j ORDER BY doc_id LIMIT 20""".stripMargin
+    },
+
     // q88: FULL value twin — DuckDB re-derives the window fold, the cut
     // positions, the chunk substrings, the md5 census and the shared-mass
     // rollup end-to-end (unicode(c) == Spark's ascii(c) on this corpus's
@@ -860,6 +913,11 @@ object SparkEntry {
         |  cast(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS bigint) AS cross_doc_chunks,
         |  cast(sum(CASE WHEN nd >= 2 THEN chlen ELSE 0 END) AS bigint) AS cross_doc_chars
         |FROM g CROSS JOIN t GROUP BY n_docs""".stripMargin,
+
+    // q90: the streamed KLL build is sketch-identical to q08's batch
+    // build (merge monoid, compaction-free at the gate k) — the shared
+    // oracle string IS the claim.
+    "q90_stream_kll" -> KllPriceOracleSql,
 
     // q85: the oracle re-derives the planted burst, the integer epoch
     // split and the exact top-20 change census; the sketch-envelope

@@ -1669,16 +1669,18 @@ object TextQueries {
     enc.select(explode(bpeAdjacentPairs).as("pr"), col("c"))
       .groupBy(col("pr")).agg(sum(col("c")).as("pc"))
 
-  /** The corpus-weighted encoded vocabulary `(e, c)`: ONE corpus pass
+  /** The corpus-weighted encoded vocabulary `(w, e, c)`: ONE corpus pass
     * (word census shuffle), then each distinct word rendered as
-    * marker-prefixed single-char symbols ("join" → "_j _o _i _n"). */
+    * marker-prefixed single-char symbols ("join" → "_j _o _i _n"). The
+    * word rides along so q89 can map final encodings back to the corpus;
+    * [[bpeMergesOn]] only ever touches `e` and `c`. */
   private[graft] def bpeEncodedVocab(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .select(expr("trim(regexp_replace(w, '(.)', '_$1 '))").as("e"), col("c"))
+      .select(col("w"), expr("trim(regexp_replace(w, '(.)', '_$1 '))").as("e"), col("c"))
 
   /** The merge loop over any weighted encoding frame (split out so specs
     * can drive hand fixtures): each round = pair census → global argmax
@@ -1688,7 +1690,11 @@ object TextQueries {
   private[graft] def bpeMergesOn(enc0: DataFrame, rounds: Int): DataFrame = {
     val spark = enc0.sparkSession
     import spark.implicits._
-    val base = enc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache the census for the rounds — unless the caller already did (q89)
+    val callerCached =
+      enc0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val base = if (callerCached) enc0
+      else enc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var enc = base
     val merges = (1 to rounds).map { r =>
       val top = bpePairCensus(enc)
@@ -1698,7 +1704,7 @@ object TextQueries {
       enc = enc.withColumn("e", replace(col("e"), lit(pr), lit(merged)))
       (r.toLong, pr, merged.replace("_", ""), top.getLong(1))
     }
-    base.unpersist()
+    if (!callerCached) base.unpersist()
     merges.toDF("rnd", "pair", "new_symbol", "pair_count").orderBy(col("rnd"))
   }
 
@@ -1722,6 +1728,48 @@ object TextQueries {
     * all R rounds as CTEs and re-derives every pair, count and symbol. */
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
     bpeMergesOn(bpeEncodedVocab(spark, sfDir), BpeMergeRounds)
+
+  /** q89: APPLY the learned BPE merge table back to the corpus — the
+    * tokenize face that closes the q87 loop (learn → apply), emitting the
+    * first 20 documents' post-BPE token census and compression ratio.
+    *
+    * Shape: q87's merge loop runs first (corpus touched once for the
+    * vocab census; 6 collected merge rows — the bounded driver
+    * materialization); the final encodings live on the VOCAB frame, so
+    * tokenizing the corpus is a (doc, word) count census joined against
+    * the small word→symbol-count dimension — the standard dimension join
+    * (broadcast at any realistic vocab; the join key is the word, and
+    * skew is pre-collapsed by the per-(doc, word) groupBy). Every output
+    * value is exact bigint; `chars_per_tok_milli` is the floored milli
+    * ratio both engines derive with integral division. */
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc0 = bpeEncodedVocab(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = bpeMergesOn(enc0, BpeMergeRounds).collect()
+    var enc = enc0
+    for (r <- merges) {
+      val pr = r.getAs[String]("pair")
+      enc = enc.withColumn("e", replace(col("e"), lit(pr), lit(pr.replace(" _", ""))))
+    }
+    val wordSyms = enc.select(col("w"),
+      size(split(col("e"), " ")).cast("long").as("sym"),
+      length(col("w")).cast("long").as("wlen"))
+    val perDocWord = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val out = perDocWord.join(broadcast(wordSyms), "w")
+      .groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("sym")).as("n_tok_bpe"),
+        sum(col("cnt") * col("wlen")).as("n_word_chars"))
+      .withColumn("chars_per_tok_milli",
+        expr("n_word_chars * 1000 div n_tok_bpe"))
+      .orderBy(col("doc_id")).limit(20)
+    enc0.unpersist()
+    out
+  }
 
   // ---- q88: content-defined chunking dedup (Muthitacharoen et al., SOSP'01) ----
 

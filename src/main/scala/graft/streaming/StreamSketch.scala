@@ -66,4 +66,48 @@ object StreamSketch {
       .select(col("e.key").as("user_id"), col("e.est").as("est_count"))
       .orderBy(desc("est_count"), asc("user_id"))
   }
+
+  /** Progress of the most recent q90 run (test evidence only). */
+  @volatile private[graft] var lastKllRunBatches: Int = 0
+
+  /** q90: the QUANTILE face of the streaming layer — a KLL build through
+    * complete-mode micro-batches, sharing q08's oracle string verbatim.
+    * Same exactness argument as q78 one tier over: KLL partial buffers are
+    * a merge monoid, and q08's sizing (k = 65536 ≥ every verify-scale row
+    * count) keeps the sketch compaction-free, so ANY slicing of the stream
+    * merges to the same item multiset and the discrete quantile equals
+    * DuckDB's `quantile_disc` exactly. Arrival order comes from the
+    * table's own order keys — tus here only SLICES the replay (no
+    * watermark, no event-time op: a global monoid aggregate is
+    * order-insensitive, and the spec varies the slicing to prove it).
+    * State = ONE sketch buffer, constant
+    * in stream length; at production k the same plan is the approximate
+    * streaming-quantile service with the q64-audited 2/k rank bound. */
+  def streamKllPrice(spark: SparkSession, sfDir: String,
+      slices: Int = Slices): DataFrame = {
+    import spark.implicits._
+    val root = SliceReplay.freshRoot("q90")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").as("x"),
+        col("l_orderkey").cast("long").as("tus"))
+    val schema = SliceReplay.stage(spark, li, slices, root)
+    val sketch = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in")
+      .agg(kll_sketch(col("x"), k = 65536).as("sk"))
+    val q = SliceReplay.startSized(spark, StatePartitions) {
+      sketch.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$root/out")
+        }
+        .start()
+    }
+    lastKllRunBatches = SliceReplay.runToCompletion(q).batches
+    val sk = spark.read.parquet(s"$root/out")
+    Seq(0.01, 0.25, 0.5, 0.75, 0.99).toDF("p")
+      .crossJoin(broadcast(sk))
+      .select(col("p"), kll_quantile(col("sk"), col("p")).as("quantile_value"))
+      .orderBy("p")
+  }
 }

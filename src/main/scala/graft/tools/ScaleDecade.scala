@@ -56,7 +56,9 @@ object ScaleDecade {
       "q85_heavy_change",
       "q86_priority_sample",
       "q87_bpe_merges",
-      "q88_cdc_chunks")
+      "q88_cdc_chunks",
+      "q89_bpe_tokenize",
+      "q90_stream_kll")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

@@ -80,6 +80,47 @@ class BpeSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q89: tokenize equals a driver-side apply of the learned merges at sf0.001") {
+    val dir = sf("sf0.001")
+    val vocab = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toSeq
+    val merges = refBpe(vocab, TextQueries.BpeMergeRounds)
+    var enc = vocab.map { case (w, _) =>
+      (w, w.toCharArray.map("_" + _).mkString(" ")) }.toMap
+    for ((_, pr, _, _) <- merges)
+      enc = enc.map { case (w, e) => (w, e.replace(pr, pr.replace(" _", ""))) }
+    val sym = enc.map { case (w, e) => (w, e.split(' ').length.toLong) }
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      val ws = t.split(' ').filter(_.nonEmpty)
+      val nTok = ws.map(sym).sum
+      val nCh = ws.map(_.length.toLong).sum
+      (id, ws.length.toLong, nTok, nCh, nCh * 1000L / nTok)
+    }.sortBy(_._1).take(20).toSeq
+    val got = TextQueries.bpeTokenize(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    spark.catalog.clearCache()
+  }
+
+  test("q89: census invariants — one symbol per word minimum, one char per symbol minimum") {
+    val rows = TextQueries.bpeTokenize(spark, sf("sf0.001")).collect()
+    assert(rows.length === 20)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_tok_bpe"))
+      assert(r.getAs[Long]("n_tok_bpe") <= r.getAs[Long]("n_word_chars"))
+      assert(r.getAs[Long]("chars_per_tok_milli") >= 1000L)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q87: deterministic, 6 rounds, top counts non-increasing") {
     val dir = sf("sf0.001")
     val a = TextQueries.bpeMerges(spark, dir).collect()

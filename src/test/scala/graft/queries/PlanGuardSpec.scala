@@ -268,6 +268,14 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q89 tokenize joins the vocab dimension by broadcast and funnels the top-20") {
+    val p = plan("q89_bpe_tokenize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q88 chunk census is one digest-keyed shuffle, no window, no sort-merge join") {
     val p = plan("q88_cdc_chunks")
     // chunking is a map-side HOF explode; the only shuffle keys the md5

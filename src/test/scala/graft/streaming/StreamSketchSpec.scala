@@ -29,4 +29,23 @@ class StreamSketchSpec extends SparkTestBase {
     assert(oneSlice === batch)
     assert(sevenSlices === batch)
   }
+
+  // ---- q90: the quantile face ----
+
+  private def batchKll = SketchQueries.kllPrice(spark, sf("sf0.001"))
+    .collect().map(_.toString).toSeq
+
+  test("q90: streamed KLL quantiles == batch q08 at sf0.001, over >=3 micro-batches") {
+    val streamed = StreamSketch.streamKllPrice(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    assert(streamed === batchKll)
+    assert(StreamSketch.lastKllRunBatches >= 3,
+      s"expected >=3 data micro-batches, got ${StreamSketch.lastKllRunBatches}")
+  }
+
+  test("q90: slice count cannot change the quantiles (KLL merge is a monoid)") {
+    val five = StreamSketch.streamKllPrice(spark, sf("sf0.001"), slices = 5)
+      .collect().map(_.toString).toSeq
+    assert(five === batchKll)
+  }
 }
