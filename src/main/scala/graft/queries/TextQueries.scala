@@ -1616,8 +1616,10 @@ object TextQueries {
     * fold). Priorities are compared as the MILLI-floored integer
     * qᵢ = ⌊10³·wᵢ·2³²/uᵢ⌋ (one bigint division; w ≤ doc-length bound
     * ~10³, so the product stays ≤ ~10¹⁶ at ANY corpus size — w is a
-    * per-doc bound, not a corpus bound), tie → lowest doc_id; τ and ŵ are
-    * the same milli units, so every emitted value is exact bigint.
+    * per-doc bound, not a corpus bound; the int64 envelope holds for any
+    * w ≤ 2·10⁶ — docs beyond ~2 MB need the double-priority variant),
+    * tie → lowest doc_id; τ and ŵ are the same milli units, so every
+    * emitted value is exact bigint.
     *
     * Scale shape: one codegen map pass (md5 + div), one TakeOrdered(k+1)
     * funnel (per-partition heaps — never a global sort), then arithmetic
@@ -1655,7 +1657,11 @@ object TextQueries {
     * step is leftmost non-overlapping; both engines' `replace` implements
     * exactly that greedy scan. The `_` marker prefixes every symbol, so a
     * pair pattern can never false-match the tail of a longer symbol
-    * ("_xa _b" does not contain "_a _b"). */
+    * ("_xa _b" does not contain "_a _b").
+    *
+    * CONTRACT: the word alphabet must not contain the marker `_` or the
+    * separator ` ` (space can't survive the word split; a production run
+    * over arbitrary bytes remaps `_` before encoding). */
   private def bpeAdjacentPairs: Column = expr(
     """case when size(split(e, ' ')) >= 2 then
       |  transform(sequence(1, size(split(e, ' ')) - 1),
@@ -1697,8 +1703,12 @@ object TextQueries {
       else enc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var enc = base
     val merges = (1 to rounds).map { r =>
-      val top = bpePairCensus(enc)
-        .orderBy(desc("pc"), asc("pr")).limit(1).collect()(0)
+      val rows = bpePairCensus(enc)
+        .orderBy(desc("pc"), asc("pr")).limit(1).collect()
+      require(rows.nonEmpty,
+        s"bpeMergesOn: no adjacent pairs left at round $r — the vocabulary " +
+          "is fully merged; ask for fewer rounds")
+      val top = rows(0)
       val pr = top.getString(0)
       val merged = pr.replace(" _", "") // "_a _b" → "_ab"
       enc = enc.withColumn("e", replace(col("e"), lit(pr), lit(merged)))

@@ -80,6 +80,13 @@ class BpeSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q87: more rounds than remaining pairs fails loudly, not with an index error") {
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.bpeMergesOn(encFrame(Seq(("ab", 1L))), rounds = 2)
+    }
+    assert(e.getMessage.contains("fully merged"), e.getMessage)
+  }
+
   test("q89: tokenize equals a driver-side apply of the learned merges at sf0.001") {
     val dir = sf("sf0.001")
     val vocab = Tables.documents(spark, dir)
