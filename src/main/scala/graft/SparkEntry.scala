@@ -267,7 +267,15 @@ object SparkEntry {
     // stateful window (q75), heavy hitters (q78), dedup (q79/q82),
     // quantiles (q90).
     "q90_stream_kll" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamSketch.streamKllPrice(s, d))
+      graft.streaming.StreamSketch.streamKllPrice(s, d)),
+    // q91: top-20 PMI collocations — ranked entirely by the exact integer
+    // lift (ln is monotone, so no logarithm touches the ranking); the 20
+    // final pmi_micro constants are the one libm site, driver-injected.
+    "q91_pmi_collocations" -> TextQueries.pmiCollocations _,
+    // q92: per-source χ² drift over the top-16+other word bucketing,
+    // computed on micro-proportions (every term ≤ 10¹² at ANY corpus
+    // size — no overflow envelope); pure bigint, fully oracle-derivable.
+    "q92_source_drift" -> TextQueries.sourceDrift _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -293,6 +301,52 @@ object SparkEntry {
   private val TopKUsersOracleSql: String =
     """SELECT cast(user_id AS varchar) AS user_id, count(*) AS est_count
       |FROM events GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin
+
+  /** The q91 CTE chain — bigram census, its own left/right marginals, the
+    * exact integer lift and the ranked candidates — shared by the
+    * standalone oracle (SQL ln) and the resolved variant (injected
+    * constants), so the two can never diverge structurally. */
+  private val PmiOracleCtes: String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL),
+      |cb2 AS (SELECT unnest(list_transform(range(1, len(t)),
+      |  i -> t[i] || ' ' || t[i+1])) AS bg FROM t),
+      |census AS (SELECT bg, cast(count(*) AS bigint) AS cab FROM cb2 GROUP BY bg),
+      |nn AS (SELECT cast(sum(cab) AS bigint) AS n FROM census),
+      |la AS (SELECT string_split(bg, ' ')[1] AS a, cast(sum(cab) AS bigint) AS ca
+      |  FROM census GROUP BY 1),
+      |rb AS (SELECT string_split(bg, ' ')[2] AS b, cast(sum(cab) AS bigint) AS cb
+      |  FROM census GROUP BY 1),
+      |cand AS (SELECT census.bg, cab, ca, cb,
+      |  (cab * n * 1000000) // (ca * cb) AS lift_micro
+      |  FROM census CROSS JOIN nn
+      |  JOIN la ON string_split(census.bg, ' ')[1] = la.a
+      |  JOIN rb ON string_split(census.bg, ' ')[2] = rb.b
+      |  WHERE cab >= ${graft.queries.TextQueries.PmiMinCount}),
+      |top AS (SELECT *, row_number() OVER (ORDER BY lift_micro DESC, bg) AS rn
+      |  FROM cand)""".stripMargin
+
+  /** q91 oracle with the 20 pmi_micro constants INJECTED as literals —
+    * computed once on the driver through the operator's own
+    * [[graft.queries.TextQueries.pmiMicroOfLift]] (one libm site); the
+    * oracle independently re-derives every integer (bigram, counts,
+    * marginals, lift) and JOINS the injection on all of them, so any
+    * divergence drops rows and fails the gate. */
+  private def pmiOracleResolved(spark: SparkSession, sfDir: String): String = {
+    val values = TextQueries.pmiModel(spark, sfDir)
+      .map { case (bg, cab, ca, cb, l, p) => s"('$bg', $cab, $ca, $cb, $l, $p)" }
+      .mkString(",\n  ")
+    s"""$PmiOracleCtes,
+      |inj(bg, cab, ca, cb, lift_micro, pmi_micro) AS (VALUES
+      |  $values)
+      |SELECT cast(rn AS bigint) AS rnk, top.bg, top.cab, top.ca, top.cb,
+      |  top.lift_micro, cast(inj.pmi_micro AS bigint) AS pmi_micro
+      |FROM top JOIN inj ON top.bg = inj.bg AND top.cab = inj.cab
+      |  AND top.ca = inj.ca AND top.cb = inj.cb
+      |  AND top.lift_micro = inj.lift_micro
+      |WHERE rn <= ${graft.queries.TextQueries.PmiTopK}
+      |ORDER BY rnk""".stripMargin
+  }
 
   /** q08/q90 share ONE oracle string: the streamed KLL build is
     * sketch-identical to the batch build (merge monoid, compaction-free
@@ -918,6 +972,46 @@ object SparkEntry {
     // build (merge monoid, compaction-free at the gate k) — the shared
     // oracle string IS the claim.
     "q90_stream_kll" -> KllPriceOracleSql,
+
+    // q91 standalone form: computes pmi_micro with SQL ln() — carries the
+    // cross-engine libm dependence, so the gate runs the RESOLVED variant
+    // with the 20 constants injected and joined on the oracle's OWN
+    // derived integers (the q74 discipline). Valid ANSI SQL on its own.
+    "q91_pmi_collocations" ->
+      s"""$PmiOracleCtes
+        |SELECT cast(rn AS bigint) AS rnk, bg, cab, ca, cb, lift_micro,
+        |  cast(floor(ln(lift_micro / 1000000.0) * 1000000) AS bigint) AS pmi_micro
+        |FROM top WHERE rn <= ${graft.queries.TextQueries.PmiTopK}
+        |ORDER BY rnk""".stripMargin,
+
+    // q92: FULL value twin — the oracle re-derives the top-16 vocabulary
+    // (same count-desc/word-asc tiebreak), the 17-bucket censuses, the
+    // zero-restored source×bucket grid and every micro-proportion χ² term.
+    "q92_source_drift" ->
+      s"""WITH wrd AS (SELECT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        |    WHERE text IS NOT NULL) WHERE w <> ''),
+        |wc AS (SELECT w, count(*) AS c FROM wrd GROUP BY w),
+        |voc AS (SELECT w FROM wc ORDER BY c DESC, w LIMIT ${graft.queries.TextQueries.DriftVocab}),
+        |b AS (SELECT source,
+        |  CASE WHEN w IN (SELECT w FROM voc) THEN w ELSE '<other>' END AS bucket
+        |  FROM wrd),
+        |corpus AS (SELECT bucket, cast(count(*) AS bigint) AS c FROM b GROUP BY bucket),
+        |totals AS (SELECT source, cast(count(*) AS bigint) AS n_s FROM b GROUP BY source),
+        |oc AS (SELECT source, bucket, cast(count(*) AS bigint) AS o
+        |  FROM b GROUP BY source, bucket),
+        |nn AS (SELECT cast(sum(c) AS bigint) AS n_total FROM corpus),
+        |grid AS (SELECT t.source, cb.bucket, t.n_s, cb.c, coalesce(oc.o, 0) AS o
+        |  FROM totals t CROSS JOIN corpus cb
+        |  LEFT JOIN oc ON oc.source = t.source AND oc.bucket = cb.bucket),
+        |props AS (SELECT source, n_s, o * 1000000 // n_s AS p_o,
+        |  greatest(c * 1000000 // n_total, 1) AS p_e
+        |  FROM grid CROSS JOIN nn),
+        |terms AS (SELECT source, n_s,
+        |  ((p_o - p_e) * (p_o - p_e)) // p_e AS term FROM props)
+        |SELECT source, cast(max(n_s) AS bigint) AS n_tokens,
+        |  cast(sum(term) AS bigint) AS drift_micro
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     // q85: the oracle re-derives the planted burst, the integer epoch
     // split and the exact top-20 change census; the sketch-envelope
@@ -2000,6 +2094,7 @@ object SparkEntry {
       ("q83_bm25_topk" -> bm25OracleResolved(spark, sfDir)) +
       ("q74_dsir_select" -> dsirOracleResolved(spark, sfDir)) +
       ("q76_mixture_weights" -> mixtureOracleResolved(spark, sfDir)) +
+      ("q91_pmi_collocations" -> pmiOracleResolved(spark, sfDir)) +
       ("q68_jsonl_census" ->
         jsonlOracleSql(graft.data.CorpusIO.jsonlGatePath(sfDir)))
 }

@@ -1781,6 +1781,148 @@ object TextQueries {
     out
   }
 
+  // ---- q91: PMI collocation census (Church & Hanks, CL 1990) ----
+
+  private[graft] val PmiTopK = 20
+  private[graft] val PmiMinCount = 5
+
+  /** pmi_micro from the floored integer lift: ⌊ln(lift_micro·10⁻⁶)·10⁶⌋ —
+    * ONE libm site shared by the operator and the resolved-oracle injection
+    * (the q65/q83 contract: the double it logs is derived from an exact
+    * bigint BOTH engines agree on, so a 1-ulp ln divergence can never flip
+    * a floor boundary between engines). */
+  private[graft] def pmiMicroOfLift(liftMicro: Long): Long =
+    math.floor(math.log(liftMicro.toDouble / 1e6) * 1e6).toLong
+
+  /** The q91 model, driver-materialized once (bounded: k rows) — the top-k
+    * bigram collocations by PMI over the corpus bigram distribution.
+    *
+    * The RANKING never touches a logarithm: PMI = ln(lift) with
+    * lift = c(a,b)·N / (cₗ(a)·cᵣ(b)) (marginals of the bigram table
+    * itself), and ln is monotone, so ordering by the exact bigint
+    * lift_micro = ⌊c(a,b)·N·10⁶ / (cₗ·cᵣ)⌋ IS the PMI order (ties → the
+    * floor could merge two lifts — tie-break on the bigram string keeps it
+    * deterministic). ln runs exactly k times, on the driver, for the final
+    * emitted constants. Int64 envelope: cab·N·10⁶ < 2⁶³ ⟺ cab·N < 9.2·10¹²
+    * — holds through the 10× decade corpus; past that, rank in milli or
+    * decimal(38) (documented, not needed at gate scales).
+    *
+    * Support floor cab ≥ 5: PMI is degenerate on rare pairs (a 1-count
+    * pair of 1-count words maximizes lift) — the standard collocation
+    * cutoff, deterministic. */
+  /** The lift-scored candidate frame over a persisted bigram census —
+    * split out so PlanGuardSpec can pin the funnel shape. */
+  private[graft] def pmiCandidates(census: DataFrame, n: Long): DataFrame = {
+    val left = census.groupBy(element_at(split(col("bg"), " "), 1).as("a"))
+      .agg(sum(col("cab")).as("ca"))
+    val right = census.groupBy(element_at(split(col("bg"), " "), 2).as("b"))
+      .agg(sum(col("cab")).as("cb"))
+    census.filter(col("cab") >= PmiMinCount.toLong)
+      .withColumn("a", element_at(split(col("bg"), " "), 1))
+      .withColumn("b", element_at(split(col("bg"), " "), 2))
+      .join(broadcast(left), "a")
+      .join(broadcast(right), "b")
+      .withColumn("lift_micro",
+        expr(s"cab * cast($n as bigint) * 1000000 div (ca * cb)"))
+      .select(col("bg"), col("cab"), col("ca"), col("cb"), col("lift_micro"))
+  }
+
+  /** The corpus bigram census (one shuffle; vocab²-bounded output). */
+  private[graft] def pmiCensus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(explode(wordBigrams(split(col("text"), " "))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+
+  def pmiModel(spark: SparkSession, sfDir: String): Seq[(String, Long, Long, Long, Long, Long)] = {
+    val census = pmiCensus(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // THREE consumers of the persisted census: N, the two marginals, and
+    // the candidate frame (the q65 multi-consumer discipline)
+    val n = census.agg(sum(col("cab"))).head().getLong(0)
+    val top = pmiCandidates(census, n)
+      .orderBy(desc("lift_micro"), asc("bg")).limit(PmiTopK)
+      .collect()
+    census.unpersist()
+    top.toSeq.map { r =>
+      val lift = r.getAs[Long]("lift_micro")
+      (r.getAs[String]("bg"), r.getAs[Long]("cab"), r.getAs[Long]("ca"),
+        r.getAs[Long]("cb"), lift, pmiMicroOfLift(lift))
+    }
+  }
+
+  /** q91: top-20 PMI collocations — the collocation-extraction face of the
+    * text stack (q83 ranks documents; this ranks word PAIRS). One bigram
+    * census shuffle (vocab²-bounded rows) with broadcast marginal joins; a
+    * TakeOrdered(k) funnel; k driver rows. */
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pmiModel(spark, sfDir).zipWithIndex.map { case ((bg, cab, ca, cb, l, p), i) =>
+      ((i + 1).toLong, bg, cab, ca, cb, l, p)
+    }.toDF("rnk", "bg", "cab", "ca", "cb", "lift_micro", "pmi_micro")
+      .orderBy(col("rnk"))
+  }
+
+  // ---- q92: per-source χ² drift census (Pearson, 1900 — CCNet-style QA) ----
+
+  private[graft] val DriftVocab = 16
+
+  /** q92: which sources' word distributions drift furthest from the
+    * corpus — the mixture-QA face next to q73 (lexical overlap) and q74
+    * (importance): per source, Pearson's χ² statistic over the top-16 +
+    * `<other>` word bucketing (the q65 vocabulary discipline: a FIXED
+    * 17-bucket binning makes the statistic well-defined and the rare-word
+    * tail never degenerates), computed on MICRO-PROPORTIONS so every term
+    * is bounded by 10¹² at ANY corpus size — no overflow envelope at all:
+    * term = (p_o − p_e)² div max(p_e, 1) with p_o = ⌊o·10⁶/n_s⌋,
+    * p_e = ⌊c·10⁶/N⌋. The clamp is load-bearing, not decorative: past
+    * 10⁶ corpus tokens a top-16 word CAN carry < 10⁻⁶ of corpus mass
+    * (one dominant word + rare tail), flooring p_e to 0 — and both
+    * engines return NULL on integer ÷0 (Spark `div`, DuckDB `//`), which
+    * sum() would then drop SILENTLY and identically, i.e. a bucket's
+    * drift would vanish from the statistic without any gate noticing.
+    * χ² is undefined at zero expectation; clamping to one micro keeps
+    * the statistic total and exact in both engines. This is χ²/n_s —
+    * the size-normalized drift, the right comparison ACROSS sources.
+    *
+    * Shape: ONE corpus word-census shuffle; everything after runs on
+    * source×bucket grids (20×17), with the missing-bucket zeros restored
+    * by a small cross-join (o = 0 terms must count). All bigint. */
+  def sourceDrift(spark: SparkSession, sfDir: String): DataFrame =
+    sourceDriftOn(Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= ""))
+
+  /** The q92 core over any `(source, w)` frame — split out for fixtures. */
+  private[graft] def sourceDriftOn(words: DataFrame): DataFrame = {
+    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // bounded driver materialization: the 16-word vocabulary (q65's rule)
+    val vocab = SketchSelect.topK(wc, "c", "w", DriftVocab.toLong)
+      .collect().map(_.getAs[String]("w")).toSeq
+    val bucketed = words.withColumn("bucket",
+      when(col("w").isin(vocab: _*), col("w")).otherwise(lit("<other>")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val totals = bucketed.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val o = bucketed.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("o"))
+    val bigN = corpus.agg(sum(col("c")).as("n_total"))
+    val grid = totals.crossJoin(broadcast(corpus))
+      .join(o, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("o"))
+    val out = grid
+      .crossJoin(broadcast(bigN))
+      .withColumn("p_o", expr("o * 1000000 div n_s"))
+      .withColumn("p_e", expr("greatest(c * 1000000 div n_total, 1L)"))
+      .withColumn("term", expr("(p_o - p_e) * (p_o - p_e) div p_e"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("term")).as("drift_micro"))
+      .orderBy(col("source"))
+    bucketed.unpersist()
+    out
+  }
+
   // ---- q88: content-defined chunking dedup (Muthitacharoen et al., SOSP'01) ----
 
   private[graft] val CdcWindow = 8

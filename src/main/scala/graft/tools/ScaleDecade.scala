@@ -58,7 +58,9 @@ object ScaleDecade {
       "q87_bpe_merges",
       "q88_cdc_chunks",
       "q89_bpe_tokenize",
-      "q90_stream_kll")
+      "q90_stream_kll",
+      "q91_pmi_collocations",
+      "q92_source_drift")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

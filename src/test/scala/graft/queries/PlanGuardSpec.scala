@@ -268,6 +268,26 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q91 lift funnel is TakeOrdered over broadcast marginal joins") {
+    val census = TextQueries.pmiCensus(spark, sf("sf0.001"))
+    val p = TextQueries.pmiCandidates(census, 1000L)
+      .orderBy(desc("lift_micro"), asc("bg")).limit(TextQueries.PmiTopK)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("q92 drift plan is window-free and never cartesian on the word stream") {
+    val p = plan("q92_source_drift")
+    assert(!p.contains("Window"), p)
+    // the only nested-loop joins are the bounded grid/total cross joins —
+    // a cartesian on the exploded word stream would print CartesianProduct
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q89 tokenize joins the vocab dimension by broadcast and funnels the top-20") {
     val p = plan("q89_bpe_tokenize")
     assert(p.contains("BroadcastHashJoin"), p)
