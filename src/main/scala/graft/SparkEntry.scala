@@ -275,7 +275,16 @@ object SparkEntry {
     // q92: per-source χ² drift over the top-16+other word bucketing,
     // computed on micro-proportions (every term ≤ 10¹² at ANY corpus
     // size — no overflow envelope); pure bigint, fully oracle-derivable.
-    "q92_source_drift" -> TextQueries.sourceDrift _
+    "q92_source_drift" -> TextQueries.sourceDrift _,
+    // q93: click→purchase attribution as a stream-stream event-time
+    // interval join (the fifth streaming face) — the oracle replays the
+    // identical interval join over the static table.
+    "q93_stream_join" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamJoin.streamAttribution(s, d)),
+    // q94: integer-domain Lloyd k-means over the embedding corpus — the
+    // FULL training loop (seeds, 3 rounds of assignments and centroid
+    // updates, final inertia) is bit-exact cross-engine.
+    "q94_kmeans" -> AnnQueries.kmeansClusterQ _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -325,6 +334,60 @@ object SparkEntry {
       |  WHERE cab >= ${graft.queries.TextQueries.PmiMinCount}),
       |top AS (SELECT *, row_number() OVER (ORDER BY lift_micro DESC, bg) AS rn
       |  FROM cand)""".stripMargin
+
+  /** One Lloyd round as DuckDB CTEs: assignment `a{r}` (argmin by (d2,
+    * cid) over the previous round's centroids), per-dimension update
+    * `u{r}` (sum // count — non-negative by the +256 shift, so identical
+    * to Spark's truncating div), new centroids `c{r}` (emptied clusters
+    * carry their previous centroid). */
+  private def kmRoundCtes(r: Int): String = {
+    val prev = s"c${r - 1}"
+    s"""a$r AS (
+      |  SELECT vec_id, qv, cid, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM (SELECT v.vec_id, v.qv, $prev.cid,
+      |      cast(list_sum(list_transform(range(1, 65),
+      |        i -> (qv[i]-cvec[i])*(qv[i]-cvec[i]))) AS bigint) AS d2
+      |    FROM v CROSS JOIN $prev)),
+      |u$r AS (
+      |  SELECT a.cid, t.i, sum(qv[t.i+1]) // count(*) AS cd
+      |  FROM a$r a CROSS JOIN range(64) t(i) WHERE rn = 1 GROUP BY a.cid, t.i),
+      |c$r AS (
+      |  SELECT $prev.cid,
+      |    CASE WHEN count(u$r.cid) = 0 THEN $prev.cvec
+      |      ELSE list(cast(u$r.cd AS bigint) ORDER BY u$r.i) END AS cvec
+      |  FROM $prev LEFT JOIN u$r ON u$r.cid = $prev.cid
+      |  GROUP BY $prev.cid, $prev.cvec)""".stripMargin
+  }
+
+  /** q94 oracle: the full Lloyd loop unrolled (see the binding's note). */
+  private val KmeansOracleSql: String =
+    s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> cast(floor(cast(x AS double) * 256) AS bigint) + 256) AS qv
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT cast(vec_id // 64 AS bigint) AS cid, qv AS cvec
+      |  FROM v WHERE vec_id % 64 = 0 AND vec_id < 512),
+      |${kmRoundCtes(1)},
+      |${kmRoundCtes(2)},
+      |${kmRoundCtes(3)},
+      |fin AS (
+      |  SELECT vec_id, cid, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM (SELECT v.vec_id, c3.cid,
+      |      cast(list_sum(list_transform(range(1, 65),
+      |        i -> (qv[i]-cvec[i])*(qv[i]-cvec[i]))) AS bigint) AS d2
+      |    FROM v CROSS JOIN c3))
+      |SELECT s.cid, s.n, s.inertia,
+      |  cast(list_sum(list_transform(range(1, 65), j -> j * cvec[j])) AS bigint)
+      |    AS c_dot,
+      |  cast(list_sum(c3.cvec) AS bigint) AS c_sum
+      |FROM (SELECT cid, cast(count(*) AS bigint) AS n,
+      |    cast(sum(d2) AS bigint) AS inertia
+      |  FROM fin WHERE rn = 1 GROUP BY cid) s
+      |JOIN c3 ON c3.cid = s.cid
+      |ORDER BY s.cid""".stripMargin
 
   /** q91 oracle with the 20 pmi_micro constants INJECTED as literals —
     * computed once on the driver through the operator's own
@@ -1012,6 +1075,40 @@ object SparkEntry {
         |SELECT source, cast(max(n_s) AS bigint) AS n_tokens,
         |  cast(sum(term) AS bigint) AS drift_micro
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // q93: FULL value twin — DuckDB replays the identical event-time
+    // interval join over the static table (the streamed inner join emits
+    // matches eagerly, so the appended pair log IS the batch join; the
+    // spec pins slicing invariance). Value doubles floor to micro BIGINTs
+    // at the pair — the standing cross-engine double discipline.
+    "q93_stream_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT c.user_id AS user_id, c.event_id AS cid, p.event_id AS pid,
+        |    p.tus - c.tus AS lag_us,
+        |    cast(floor(p.value * 1000000) AS bigint) AS val_micro
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.tus >= c.tus AND p.tus <= c.tus + 7200000000)
+        |SELECT cast(count(*) AS bigint) AS n_pairs,
+        |  cast(count(DISTINCT user_id) AS bigint) AS n_users,
+        |  cast(count(DISTINCT cid) AS bigint) AS n_clicks,
+        |  cast(count(DISTINCT pid) AS bigint) AS n_purchases,
+        |  cast(sum(val_micro) AS bigint) AS value_micro,
+        |  cast(min(lag_us) AS bigint) AS min_lag_us,
+        |  cast(max(lag_us) AS bigint) AS max_lag_us,
+        |  cast(sum(lag_us) AS bigint) AS sum_lag_us
+        |FROM pairs""".stripMargin,
+
+    // q94: the oracle re-runs the ENTIRE Lloyd loop — quantization, the
+    // 8 stride seeds, all three rounds' argmin assignments and
+    // integer-division centroid updates, the final assignment and
+    // inertia — unrolled as CTEs (the q87 round-unroll discipline).
+    // Everything is bigint: the +256 domain shift keeps every
+    // per-dimension sum non-negative, where Spark div == DuckDB //.
+    "q94_kmeans" -> KmeansOracleSql,
 
     // q85: the oracle re-derives the planted burst, the integer epoch
     // split and the exact top-20 change census; the sketch-envelope

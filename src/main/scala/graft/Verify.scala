@@ -15,7 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated subset (iteration aid); the driver sets
+    // nothing and always dumps the full gate
+    val subset = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = subset match {
+      case Some(qs) => SparkEntry.queries.filter { case (n, _) => qs(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -108,19 +108,27 @@ object SyntheticScale {
         (pmod(xxhash64(col("id"), lit(45)), lit(9000000)).cast("double")
           / lit(100.0) + lit(900.0)).as("l_extendedprice"))
 
-  /** events: the columns the sessionize family (q54/q57/q75) consumes —
-    * testdata shape (sf0.1 ≈ 100k rows / 1500 users / a 30-day span), so
-    * the 10× table holds the 30-day span and users·density both grow
-    * (sessions-per-user stays realistic while state size scales). */
+  /** events: the columns the sessionize family (q54/q57/q75) and the
+    * attribution join (q93) consume — testdata shape (sf0.1 ≈ 100k rows /
+    * 1500 users / a 30-day span / 5 uniform event types), so the 10× table
+    * holds the 30-day span and users·density both grow (sessions-per-user
+    * and per-user click→purchase rates stay realistic while state size
+    * scales). */
   def events(spark: SparkSession, n: Long, users: Long, parts: Int): DataFrame = {
     val spanUs = 30L * 24 * 3600 * 1000000
     val t0 = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val types = typedLit(Seq("view", "click", "purchase", "signup", "error"))
     spark.range(0L, n, 1L, parts)
       .select(
         col("id").as("event_id"),
         timestamp_micros(unix_micros(t0) +
           pmod(xxhash64(col("id"), lit(51)), lit(spanUs))).as("ts"),
-        pmod(xxhash64(col("id"), lit(52)), lit(users)).as("user_id"))
+        pmod(xxhash64(col("id"), lit(52)), lit(users)).as("user_id"),
+        element_at(types,
+          (pmod(xxhash64(col("id"), lit(53)), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(54)), lit(10000)).cast("double")
+          / lit(100.0)).as("value"))
   }
 
   /** Generate the full table set for `scale` (1 ≈ sf0.1 shape) under

@@ -783,4 +783,107 @@ object AnnQueries {
         coalesce(col("recall_hits"), lit(0L)).as("recall_hits"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  // ---- q94: integer k-means corpus clustering (Lloyd, 1982) ----
+
+  private[graft] val KmK = 8
+  private[graft] val KmSeedStride = 64L
+  private[graft] val KmRounds = 3
+
+  /** Quantization shift: qv[i] = ⌊x·256⌋ + 256. The +256 keeps every
+    * component (and so every per-dimension SUM) non-negative, which is
+    * load-bearing for the oracle: Spark's `div`/Long `/` truncate toward
+    * zero while DuckDB's `//` floors, and the two disagree exactly on
+    * negative numerators — shifting the domain makes the centroid-update
+    * division identical in both engines (L2 distances are shift-invariant,
+    * so the clustering itself is unchanged). */
+  private[graft] val KmShift = 256L
+
+  /** Integer squared L2 over two long arrays — strictly array-ordered
+    * bigint adds, so cross-engine exact by construction. */
+  private def intD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** One assignment pass: argmin over broadcast centroids via the
+    * partial-aggregating min(struct(d2, cid)) — map-side combinable, no
+    * window sort, ties break to the lowest cid (the oracle's rn order). */
+  private def kmAssign(v: DataFrame, centroids: DataFrame): DataFrame =
+    v.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("qv"),
+        struct(intD2(col("qv"), col("cvec")).as("d2"), col("cid")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("s")).as("s"), first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("qv"),
+        col("s.cid").as("cid"), col("s.d2").as("d2"))
+
+  /** Lloyd refinement over `v(vec_id, qv: array<long>)` from `seeds`
+    * (cid → component array), all-integer: new centroid component =
+    * per-cluster component sum div count (non-negative by [[KmShift]]);
+    * a cluster that loses every member carries its previous centroid.
+    * Per round: one distributed assignment pass + ONE k·d-row bounded
+    * driver collect (k=8, d=64 → 512 rows — metadata, not data; the
+    * 100 TB shape is rounds · one-pass-over-corpus with broadcast
+    * centroids, exactly how distributed k-means is run in production). */
+  private[graft] def lloyd(spark: SparkSession, v: DataFrame,
+      seeds: Seq[(Long, Seq[Long])], rounds: Int): (DataFrame, Seq[(Long, Seq[Long])]) = {
+    import spark.implicits._
+    var centroids = seeds
+    for (_ <- 1 to rounds) {
+      val assigned = kmAssign(v, centroids.toDF("cid", "cvec"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getAs[Long]("cid"))
+      centroids = centroids.map { case (cid, prev) =>
+        cid -> (sums.get(cid) match {
+          case Some(rows) =>
+            val byDim = rows.map(r => r.getAs[Int]("i") ->
+              (r.getAs[Long]("s") / r.getAs[Long]("n"))).toMap
+            prev.indices.map(byDim(_)).toSeq
+          case None => prev // emptied cluster keeps its centroid
+        })
+      }
+    }
+    (kmAssign(v, centroids.toDF("cid", "cvec")), centroids)
+  }
+
+  /** q94: k-means clustering of the embedding corpus — the clustering face
+    * of the embedding stack (q72 dedups WITHIN given clusters; this BUILDS
+    * the clusters, the SemDeDup/cluster-balanced-sampling front end). Runs
+    * entirely in the shifted integer domain so the FULL training loop —
+    * seeds, every round's assignments and centroid updates, final inertia —
+    * is bit-exact in both engines (the q81 discipline, extended from seed
+    * selection to actual Lloyd refinement). Output per cluster: size, L2
+    * inertia, and two centroid fingerprints (position-weighted dot + sum —
+    * order-free bigint adds). */
+  def kmeansClusterQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(256)).cast("long") + lit(KmShift))
+          .as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = v
+      .filter(col("vec_id") % KmSeedStride === 0 &&
+        col("vec_id") < KmSeedStride * KmK)
+      .select((col("vec_id") / KmSeedStride).cast("long").as("cid"), col("qv"))
+      .collect()
+      .map(r => r.getAs[Long]("cid") -> r.getSeq[Long](1).toSeq)
+      .sortBy(_._1).toSeq
+    val (fin, centroids) = lloyd(spark, v, seeds, KmRounds)
+    val fp = centroids.map { case (cid, c) =>
+      (cid,
+        c.zipWithIndex.map { case (x, j) => (j + 1) * x }.sum,
+        c.sum)
+    }.toDF("cid", "c_dot", "c_sum")
+    fin.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+      .join(broadcast(fp), Seq("cid"))
+      .select(col("cid"), col("n"), col("inertia"), col("c_dot"), col("c_sum"))
+      .orderBy(col("cid"))
+  }
 }

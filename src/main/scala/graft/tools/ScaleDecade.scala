@@ -60,7 +60,9 @@ object ScaleDecade {
       "q89_bpe_tokenize",
       "q90_stream_kll",
       "q91_pmi_collocations",
-      "q92_source_drift")
+      "q92_source_drift",
+      "q93_stream_join",
+      "q94_kmeans")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

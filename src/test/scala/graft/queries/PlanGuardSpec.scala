@@ -279,6 +279,19 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q94 kmeans output plan: broadcast assignment, no window, no shuffled pair join") {
+    // the final assignment (the plan the gate returns) must probe the
+    // 8-row centroid table by BroadcastNestedLoopJoin — never shuffle the
+    // corpus against it — and the argmin must be the partial-aggregating
+    // min(struct), not a row_number window
+    val p = plan("q94_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q92 drift plan is window-free and never cartesian on the word stream") {
     val p = plan("q92_source_drift")
     assert(!p.contains("Window"), p)
