@@ -284,7 +284,10 @@ object SparkEntry {
     // q94: integer-domain Lloyd k-means over the embedding corpus — the
     // FULL training loop (seeds, 3 rounds of assignments and centroid
     // updates, final inertia) is bit-exact cross-engine.
-    "q94_kmeans" -> AnnQueries.kmeansClusterQ _
+    "q94_kmeans" -> AnnQueries.kmeansClusterQ _,
+    // q95: cluster-balanced diverse sampling over q94's clusters (the D4
+    // shape) — md5-priority pick of M per cluster, salted two-level top-M.
+    "q95_cluster_sample" -> AnnQueries.clusterSample _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -360,8 +363,9 @@ object SparkEntry {
       |  GROUP BY $prev.cid, $prev.cvec)""".stripMargin
   }
 
-  /** q94 oracle: the full Lloyd loop unrolled (see the binding's note). */
-  private val KmeansOracleSql: String =
+  /** The q94/q95 shared training chain: quantization `v`, stride seeds
+    * `c0`, three unrolled rounds, final assignment `fin`. */
+  private val KmCtes: String =
     s"""WITH v AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> cast(floor(cast(x AS double) * 256) AS bigint) + 256) AS qv
@@ -378,7 +382,11 @@ object SparkEntry {
       |  FROM (SELECT v.vec_id, c3.cid,
       |      cast(list_sum(list_transform(range(1, 65),
       |        i -> (qv[i]-cvec[i])*(qv[i]-cvec[i]))) AS bigint) AS d2
-      |    FROM v CROSS JOIN c3))
+      |    FROM v CROSS JOIN c3))""".stripMargin
+
+  /** q94 oracle: the full Lloyd loop unrolled (see the binding's note). */
+  private val KmeansOracleSql: String =
+    s"""$KmCtes
       |SELECT s.cid, s.n, s.inertia,
       |  cast(list_sum(list_transform(range(1, 65), j -> j * cvec[j])) AS bigint)
       |    AS c_dot,
@@ -388,6 +396,27 @@ object SparkEntry {
       |  FROM fin WHERE rn = 1 GROUP BY cid) s
       |JOIN c3 ON c3.cid = s.cid
       |ORDER BY s.cid""".stripMargin
+
+  /** q95 oracle: the SAME chain through `fin`, then the md5-priority
+    * cluster-balanced pick (the q86 hex-fold twin of Spark's `conv`). */
+  private val ClusterSampleOracleSql: String =
+    s"""$KmCtes,
+      |s AS (
+      |  SELECT vec_id, cid, d2,
+      |    list_reduce(list_prepend(0, list_transform(
+      |      string_split(substr(md5(cast(vec_id AS varchar)), 1, 8), ''),
+      |      c -> strpos('0123456789abcdef', c) - 1)),
+      |      (acc, x) -> acc * 16 + x) + 1 AS u
+      |  FROM fin WHERE rn = 1),
+      |sz AS (SELECT cid, cast(count(*) AS bigint) AS n FROM s GROUP BY cid),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY cid ORDER BY u, vec_id)
+      |    AS smp
+      |  FROM s)
+      |SELECT rk.cid, cast(smp AS bigint) AS smp_rank, vec_id,
+      |  cast(u AS bigint) AS u, d2, sz.n
+      |FROM rk JOIN sz ON sz.cid = rk.cid
+      |WHERE smp <= ${graft.queries.AnnQueries.KmSampleM}
+      |ORDER BY rk.cid, smp""".stripMargin
 
   /** q91 oracle with the 20 pmi_micro constants INJECTED as literals —
     * computed once on the driver through the operator's own
@@ -1109,6 +1138,11 @@ object SparkEntry {
     // Everything is bigint: the +256 domain shift keeps every
     // per-dimension sum non-negative, where Spark div == DuckDB //.
     "q94_kmeans" -> KmeansOracleSql,
+
+    // q95: the oracle re-runs the SAME training chain through the final
+    // assignment, folds the md5 priority from hex chars, and re-derives
+    // the per-cluster balanced pick with the identical (u, vec_id) order.
+    "q95_cluster_sample" -> ClusterSampleOracleSql,
 
     // q85: the oracle re-derives the planted burst, the integer epoch
     // split and the exact top-20 change census; the sketch-envelope

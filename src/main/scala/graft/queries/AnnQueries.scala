@@ -861,6 +861,23 @@ object AnnQueries {
     * order-free bigint adds). */
   def kmeansClusterQ(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val (fin, centroids) = kmeansFit(spark, sfDir)
+    val fp = centroids.map { case (cid, c) =>
+      (cid,
+        c.zipWithIndex.map { case (x, j) => (j + 1) * x }.sum,
+        c.sum)
+    }.toDF("cid", "c_dot", "c_sum")
+    fin.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+      .join(broadcast(fp), Seq("cid"))
+      .select(col("cid"), col("n"), col("inertia"), col("c_dot"), col("c_sum"))
+      .orderBy(col("cid"))
+  }
+
+  /** The shared q94/q95 training: quantize, stride-seed, [[lloyd]] —
+    * returns (final assignment frame, final centroids). */
+  private[graft] def kmeansFit(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[(Long, Seq[Long])]) = {
     val v = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -874,16 +891,50 @@ object AnnQueries {
       .collect()
       .map(r => r.getAs[Long]("cid") -> r.getSeq[Long](1).toSeq)
       .sortBy(_._1).toSeq
-    val (fin, centroids) = lloyd(spark, v, seeds, KmRounds)
-    val fp = centroids.map { case (cid, c) =>
-      (cid,
-        c.zipWithIndex.map { case (x, j) => (j + 1) * x }.sum,
-        c.sum)
-    }.toDF("cid", "c_dot", "c_sum")
-    fin.groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
-      .join(broadcast(fp), Seq("cid"))
-      .select(col("cid"), col("n"), col("inertia"), col("c_dot"), col("c_sum"))
-      .orderBy(col("cid"))
+    lloyd(spark, v, seeds, KmRounds)
+  }
+
+  // ---- q95: cluster-balanced sampling (Tirumala et al., 2023 — D4) ----
+
+  /** Per-cluster sample budget. */
+  private[graft] val KmSampleM = 5
+
+  /** Level-1 salt width for the per-cluster top-M (the q77 two-level
+    * discipline: never sort one cluster's full membership in one task). */
+  private[graft] val KmSampleSalts = 8
+
+  /** q95: cluster-balanced diverse sampling — the D4 shape (Tirumala et
+    * al. 2023): spread a sample budget EVENLY across q94's k-means
+    * clusters instead of uniformly over the corpus, so dense regions
+    * can't monopolize the training mix. Selection within a cluster is the
+    * seedless md5 priority (the q86/q47 discipline — u = first-8-hex fold,
+    * exact in both engines), smallest-u first, tie → lowest vec_id; each
+    * emitted row carries u, its L2 distance to the final centroid and the
+    * cluster size, all bigint.
+    *
+    * Scale shape: reuses the q94 fit (broadcast assignment passes), then
+    * ONE codegen md5 pass and a salted two-level top-M — level 1 ranks
+    * within (cid, salt) so no task ever sorts a full cluster (clusters
+    * are n/k rows — corpus-sized at 100 TB), level 2 ranks the surviving
+    * k·S·M rows. */
+  def clusterSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val (fin, _) = kmeansFit(spark, sfDir)
+    val scored = fin.withColumn("u", expr(
+      "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) + 1"))
+    val sizes = fin.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"), col("salt")).orderBy(asc("u"), asc("vec_id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(asc("u"), asc("vec_id"))
+    scored
+      .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(KmSampleSalts)))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= KmSampleM)
+      .withColumn("smp_rank", row_number().over(w2).cast("long"))
+      .filter(col("smp_rank") <= KmSampleM.toLong)
+      .join(broadcast(sizes), Seq("cid"))
+      .select(col("cid"), col("smp_rank"), col("vec_id"), col("u"),
+        col("d2"), col("n"))
+      .orderBy(col("cid"), col("smp_rank"))
   }
 }

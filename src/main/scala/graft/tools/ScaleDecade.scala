@@ -62,7 +62,8 @@ object ScaleDecade {
       "q91_pmi_collocations",
       "q92_source_drift",
       "q93_stream_join",
-      "q94_kmeans")
+      "q94_kmeans",
+      "q95_cluster_sample")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

@@ -93,6 +93,56 @@ class KmeansSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  private def md5U(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) + 1L
+  }
+
+  test("q95: gate output equals the JVM reference balanced pick at sf0.001") {
+    val dir = sf("sf0.001")
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> quantize(r.getSeq[Float](1).toSeq)).toMap
+    // reference: rebuild the final assignment via refKmeans's rules, then
+    // pick M per cluster by (md5 priority, vec_id)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cent: Map[Long, Seq[Long]] = vecs.collect {
+      case (id, v) if id % AnnQueries.KmSeedStride == 0 &&
+        id < AnnQueries.KmSeedStride * AnnQueries.KmK =>
+        (id / AnnQueries.KmSeedStride) -> v
+    }
+    for (_ <- 1 to AnnQueries.KmRounds) {
+      val a = vecs.map { case (id, v) =>
+        id -> cent.keys.minBy(c => (d2(v, cent(c)), c)) }
+      cent = cent.map { case (cid, prev) =>
+        val ms = a.collect { case (id, c) if c == cid => vecs(id) }.toSeq
+        cid -> (if (ms.isEmpty) prev
+          else prev.indices.map(j => ms.map(_(j)).sum / ms.size))
+      }
+    }
+    val fin = vecs.map { case (id, v) =>
+      id -> cent.keys.minBy(c => (d2(v, cent(c)), c)) }
+    val ref = cent.keys.toSeq.sorted.flatMap { cid =>
+      val mem = fin.collect { case (id, c) if c == cid => id }.toSeq
+        .sortBy(id => (md5U(id), id))
+      mem.take(AnnQueries.KmSampleM).zipWithIndex.map { case (id, i) =>
+        (cid, (i + 1).toLong, id, md5U(id), d2(vecs(id), cent(cid)),
+          mem.size.toLong)
+      }
+    }
+    val got = AnnQueries.clusterSample(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === ref)
+    // balance invariant: every cluster contributes exactly min(n, M) rows
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length === math.min(rows.head._6, AnnQueries.KmSampleM.toLong))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q94: a cluster that loses every member carries its previous centroid") {
     val vecs = (0 until 10).map(i => (i.toLong, Seq(5L, 5L)))
     val v = vecs.toDF("vec_id", "qv")

@@ -292,6 +292,16 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q95 balanced pick: salted two-level windows, broadcast sizes, no full-cluster shuffle join") {
+    val p = plan("q95_cluster_sample")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // both window levels present: (cid, salt) then (cid)
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q92 drift plan is window-free and never cartesian on the word stream") {
     val p = plan("q92_source_drift")
     assert(!p.contains("Window"), p)
