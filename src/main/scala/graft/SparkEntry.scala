@@ -287,7 +287,11 @@ object SparkEntry {
     "q94_kmeans" -> AnnQueries.kmeansClusterQ _,
     // q95: cluster-balanced diverse sampling over q94's clusters (the D4
     // shape) — md5-priority pick of M per cluster, salted two-level top-M.
-    "q95_cluster_sample" -> AnnQueries.clusterSample _
+    "q95_cluster_sample" -> AnnQueries.clusterSample _,
+    // q96: per-doc perplexity under the corpus's own add-one bigram LM
+    // (CCNet) — the model is a broadcast dimension of driver-computed
+    // micro-nat terms; no logarithm in any distributed plan.
+    "q96_lm_perplexity" -> TextQueries.lmPerplexity _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -417,6 +421,59 @@ object SparkEntry {
       |FROM rk JOIN sz ON sz.cid = rk.cid
       |WHERE smp <= ${graft.queries.AnnQueries.KmSampleM}
       |ORDER BY rk.cid, smp""".stripMargin
+
+  /** The q96 derivation chain shared by the standalone oracle (SQL ln)
+    * and the resolved variant (injected terms): per-doc bigram stream,
+    * census, left marginal, vocabulary size, and the per-doc rollup is
+    * appended by each variant after it binds `model(bg, term_micro)`. */
+  private val PplOracleCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL),
+      |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |  i -> t[i] || ' ' || t[i+1])) AS bg FROM t),
+      |census AS (SELECT bg, cast(count(*) AS bigint) AS cab FROM db GROUP BY bg),
+      |la AS (SELECT string_split(bg, ' ')[1] AS a, cast(sum(cab) AS bigint) AS ca
+      |  FROM census GROUP BY 1),
+      |vv AS (SELECT cast(count(DISTINCT w) AS bigint) AS v FROM
+      |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |   WHERE text IS NOT NULL))""".stripMargin
+
+  /** The q96 per-doc rollup over a bound `model(bg, term_micro)`. */
+  private val PplOracleTail: String =
+    s"""per_doc AS (SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+      |  cast(sum(term_micro) AS bigint) AS nll_micro
+      |  FROM db JOIN model ON db.bg = model.bg GROUP BY doc_id),
+      |rk AS (SELECT *, nll_micro // n_bigrams AS mean_nll_micro,
+      |  row_number() OVER (ORDER BY nll_micro // n_bigrams DESC, doc_id) AS rn
+      |  FROM per_doc)
+      |SELECT cast(rn AS bigint) AS rnk, doc_id, n_bigrams, nll_micro,
+      |  cast(mean_nll_micro AS bigint) AS mean_nll_micro
+      |FROM rk WHERE rn <= ${graft.queries.TextQueries.PplTopK}
+      |ORDER BY rn""".stripMargin
+
+  /** q96 resolved oracle: the model's micro-nat terms INJECTED (computed
+    * once on the driver through the operator's own
+    * [[graft.queries.TextQueries.pplTermMicro]]); the oracle re-derives
+    * every integer key (bigram, cab, ca, V) and JOINS the injection on
+    * ALL of them, so any derivation divergence drops rows and fails the
+    * gate (the q91/q74 discipline — here including the corpus-global V
+    * pinned on every row). */
+  private def pplOracleResolved(spark: SparkSession, sfDir: String): String = {
+    val (v, model) = TextQueries.lmModel(spark, sfDir)
+    val values = model.sortBy(_._1)
+      .map { case (bg, cab, ca, t) => s"('$bg', $cab, $ca, $v, $t)" }
+      .mkString(",\n  ")
+    s"""$PplOracleCtes,
+      |inj(bg, cab, ca, v, term_micro) AS (VALUES
+      |  $values),
+      |model AS (SELECT census.bg, cast(inj.term_micro AS bigint) AS term_micro
+      |  FROM census
+      |  JOIN la ON string_split(census.bg, ' ')[1] = la.a
+      |  CROSS JOIN vv
+      |  JOIN inj ON inj.bg = census.bg AND inj.cab = census.cab
+      |    AND inj.ca = la.ca AND inj.v = vv.v),
+      |$PplOracleTail""".stripMargin
+  }
 
   /** q91 oracle with the 20 pmi_micro constants INJECTED as literals —
     * computed once on the driver through the operator's own
@@ -1143,6 +1200,20 @@ object SparkEntry {
     // assignment, folds the md5 priority from hex chars, and re-derives
     // the per-cluster balanced pick with the identical (u, vec_id) order.
     "q95_cluster_sample" -> ClusterSampleOracleSql,
+
+    // q96 standalone form: computes the surprisal terms with SQL ln() —
+    // carries the cross-engine libm dependence, so the gate runs the
+    // RESOLVED variant with the model's terms injected and joined on the
+    // oracle's own derived integers (the q91 discipline). Valid ANSI SQL.
+    "q96_lm_perplexity" ->
+      s"""$PplOracleCtes,
+        |model AS (SELECT census.bg,
+        |  cast(floor((ln(la.ca + vv.v) - ln(census.cab + 1)) * 1000000)
+        |    AS bigint) AS term_micro
+        |  FROM census
+        |  JOIN la ON string_split(census.bg, ' ')[1] = la.a
+        |  CROSS JOIN vv),
+        |$PplOracleTail""".stripMargin,
 
     // q85: the oracle re-derives the planted burst, the integer epoch
     // split and the exact top-20 change census; the sketch-envelope
@@ -2226,6 +2297,7 @@ object SparkEntry {
       ("q74_dsir_select" -> dsirOracleResolved(spark, sfDir)) +
       ("q76_mixture_weights" -> mixtureOracleResolved(spark, sfDir)) +
       ("q91_pmi_collocations" -> pmiOracleResolved(spark, sfDir)) +
+      ("q96_lm_perplexity" -> pplOracleResolved(spark, sfDir)) +
       ("q68_jsonl_census" ->
         jsonlOracleSql(graft.data.CorpusIO.jsonlGatePath(sfDir)))
 }

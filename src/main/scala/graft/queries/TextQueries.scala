@@ -1863,6 +1863,85 @@ object TextQueries {
       .orderBy(col("rnk"))
   }
 
+  // ---- q96: bigram-LM perplexity filter (Wenzek et al., CCNet 2020) ----
+
+  private[graft] val PplTopK = 20
+
+  /** Micro-nat surprisal of one bigram under the add-one model:
+    * ⌊(ln(ca+V) − ln(cab+1))·10⁶⌋ — strictly positive (den > num always)
+    * and the ONE libm site of q96, evaluated on the DRIVER over exact
+    * bigints both engines agree on; neither engine's distributed plan
+    * touches a logarithm (the model is a joined dimension). */
+  private[graft] def pplTermMicro(num: Long, den: Long): Long =
+    math.floor((math.log(den.toDouble) - math.log(num.toDouble)) * 1e6).toLong
+
+  /** The trained model, driver-materialized once (bounded: bigram TYPES —
+    * vocab²-bounded, NOT corpus-bounded): (bg, cab, ca, term_micro) rows
+    * plus the vocabulary size V. Training = q91's bigram census + its
+    * left marginal + add-one smoothing p(w|v) = (cab+1)/(ca+V). */
+  private[graft] def lmModel(spark: SparkSession, sfDir: String)
+      : (Long, Seq[(String, Long, Long, Long)]) = {
+    val census = pmiCensus(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val la = census.groupBy(element_at(split(col("bg"), " "), 1).as("a"))
+      .agg(sum(col("cab")).as("ca"))
+    val v = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val rows = census
+      .withColumn("a", element_at(split(col("bg"), " "), 1))
+      .join(broadcast(la), "a")
+      .select(col("bg"), col("cab"), col("ca"))
+      .collect()
+      .map { r =>
+        val (cab, ca) = (r.getAs[Long]("cab"), r.getAs[Long]("ca"))
+        (r.getAs[String]("bg"), cab, ca, pplTermMicro(cab + 1, ca + v))
+      }.toSeq
+    census.unpersist()
+    (v, rows)
+  }
+
+  /** q96: per-doc perplexity under the corpus's OWN add-one bigram LM —
+    * the CCNet quality mechanism (docs scoring far above the corpus model
+    * are the distributional outliers); emitted as the top-[[PplTopK]] by
+    * mean surprisal. Ranking is by the exact bigint mean_nll_micro
+    * (= ln(perplexity)·10⁶; exp is monotone, so this IS the perplexity
+    * order — the q91 monotone-transform discipline), tie → doc_id.
+    *
+    * Scale shape: ONE corpus pass explodes bigram occurrences against the
+    * BROADCAST model dimension (vocab²-bounded — the same reason q89's
+    * vocab join broadcasts), one per-doc census shuffle, a TakeOrdered(k)
+    * funnel, k driver rows. No logarithm anywhere in the distributed
+    * plan. */
+  /** The distributed q96 scoring frame over a bound model dimension —
+    * split out so PlanGuardSpec pins the REAL path (broadcast dimension,
+    * log-free plan, TakeOrdered funnel). */
+  private[graft] def lmPerDocTop(spark: SparkSession, sfDir: String,
+      dim: DataFrame): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(wordBigrams(split(col("text"), " "))).as("bg"))
+      .join(broadcast(dim), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term_micro")).as("nll_micro"))
+      .withColumn("mean_nll_micro", expr("nll_micro div n_bigrams"))
+      .orderBy(desc("mean_nll_micro"), asc("doc_id")).limit(PplTopK)
+
+  def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, model) = lmModel(spark, sfDir)
+    val dim = model.map { case (bg, _, _, t) => (bg, t) }
+      .toDF("bg", "term_micro")
+    val top = lmPerDocTop(spark, sfDir, dim).collect()
+    top.toSeq.zipWithIndex.map { case (r, i) =>
+      ((i + 1).toLong, r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("nll_micro"), r.getAs[Long]("mean_nll_micro"))
+    }.toDF("rnk", "doc_id", "n_bigrams", "nll_micro", "mean_nll_micro")
+      .orderBy(col("rnk"))
+  }
+
   // ---- q92: per-source χ² drift census (Pearson, 1900 — CCNet-style QA) ----
 
   private[graft] val DriftVocab = 16

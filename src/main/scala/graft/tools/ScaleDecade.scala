@@ -63,7 +63,8 @@ object ScaleDecade {
       "q92_source_drift",
       "q93_stream_join",
       "q94_kmeans",
-      "q95_cluster_sample")
+      "q95_cluster_sample",
+      "q96_lm_perplexity")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

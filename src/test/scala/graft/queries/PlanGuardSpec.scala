@@ -302,6 +302,21 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q96 perplexity: broadcast model dimension, no log in the plan, TakeOrdered funnel") {
+    // the REAL scoring path: the model join must broadcast (vocab²-bounded
+    // dimension) and the distributed plan must not evaluate any logarithm —
+    // surprisal terms arrive as joined literals
+    import spark.implicits._
+    val dim = Seq(("a b", 1L)).toDF("bg", "term_micro")
+    val p = TextQueries.lmPerDocTop(spark, sf("sf0.001"), dim)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("LOG("), p)
+    spark.catalog.clearCache()
+  }
+
   test("q92 drift plan is window-free and never cartesian on the word stream") {
     val p = plan("q92_source_drift")
     assert(!p.contains("Window"), p)

@@ -61,6 +61,62 @@ class PmiDriftSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  // ---- q96 ----
+
+  private def refPpl(dir: String): Seq[(Long, Long, Long, Long, Long)] = {
+    val texts = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val census = scala.collection.mutable.Map.empty[String, Long]
+    val vocab = scala.collection.mutable.Set.empty[String]
+    val perDoc = texts.map { case (did, t) =>
+      val ws = t.split(' ')
+      vocab ++= ws
+      did -> (0 until ws.length - 1).map(i => ws(i) + " " + ws(i + 1))
+    }
+    perDoc.foreach { case (_, bgs) =>
+      bgs.foreach(bg => census(bg) = census.getOrElse(bg, 0L) + 1L) }
+    val la = census.groupBy(_._1.split(' ')(0))
+      .map { case (a, m) => (a, m.values.sum) }
+    val v = vocab.size.toLong
+    val term = census.keys.map(bg =>
+      bg -> TextQueries.pplTermMicro(census(bg) + 1, la(bg.split(' ')(0)) + v))
+      .toMap
+    perDoc.filter(_._2.nonEmpty).map { case (did, bgs) =>
+      val nll = bgs.map(term).sum
+      (did, bgs.length.toLong, nll, nll / bgs.length)
+    }.sortBy { case (did, _, _, m) => (-m, did) }
+      .take(TextQueries.PplTopK).zipWithIndex
+      .map { case ((did, n, nll, m), i) => ((i + 1).toLong, did, n, nll, m) }
+      .toSeq
+  }
+
+  test("q96: gate output equals the JVM reference add-one bigram LM at sf0.001") {
+    val dir = sf("sf0.001")
+    val got = TextQueries.lmPerplexity(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === refPpl(dir))
+    spark.catalog.clearCache()
+  }
+
+  test("q96: every surprisal term is positive and frequent bigrams surprise less") {
+    val (v, model) = TextQueries.lmModel(spark, sf("sf0.001"))
+    assert(v > 0L)
+    assert(model.nonEmpty)
+    assert(model.forall(_._4 > 0L), "den = ca+V > cab+1 = num always")
+    // within one left context (fixed ca), term is non-increasing in cab
+    model.groupBy(_._1.split(' ')(0)).values.foreach { g =>
+      val byCab = g.sortBy(_._2)
+      byCab.sliding(2).foreach {
+        case Seq((_, c1, _, t1), (_, c2, _, t2)) =>
+          if (c1 < c2) assert(t1 >= t2,
+            s"surprisal must not grow with count: cab=$c1 t=$t1 vs cab=$c2 t=$t2")
+        case _ =>
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   // ---- q92 ----
 
   private def refDrift(words: Seq[(String, String)]): Seq[(String, Long, Long)] = {
