@@ -291,7 +291,11 @@ object SparkEntry {
     // q96: per-doc perplexity under the corpus's own add-one bigram LM
     // (CCNet) — the model is a broadcast dimension of driver-computed
     // micro-nat terms; no logarithm in any distributed plan.
-    "q96_lm_perplexity" -> TextQueries.lmPerplexity _
+    "q96_lm_perplexity" -> TextQueries.lmPerplexity _,
+    // q97: the q86 priority sample through complete-mode micro-batches
+    // (bounded top-(k+1) monoid state) — shares q86's oracle verbatim.
+    "q97_stream_sample" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamSample.streamPrioritySample(s, d))
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -421,6 +425,30 @@ object SparkEntry {
       |FROM rk JOIN sz ON sz.cid = rk.cid
       |WHERE smp <= ${graft.queries.AnnQueries.KmSampleM}
       |ORDER BY rk.cid, smp""".stripMargin
+
+  /** q86/q97 share ONE oracle string: bounded top-(k+1)-by-priority is a
+    * merge monoid, so the streamed build is row-identical to the batch
+    * sample — binding the SQL once makes that sharing structural. */
+  private val PrioritySampleOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, cast(n_chars AS bigint) AS w
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |s AS (SELECT doc_id, w,
+      |  list_reduce(list_prepend(0, list_transform(
+      |    string_split(substr(md5(cast(doc_id AS varchar)), 1, 8), ''),
+      |    c -> strpos('0123456789abcdef', c) - 1)),
+      |    (acc, x) -> acc * 16 + x) + 1 AS u
+      |  FROM d),
+      |p AS (SELECT doc_id, w, u,
+      |  (w * 4294967296 * 1000) // u AS p_milli FROM s),
+      |rk AS (SELECT *, row_number() OVER
+      |  (ORDER BY p_milli DESC, doc_id) AS rn FROM p),
+      |tau AS (SELECT p_milli AS tau_milli FROM rk
+      |  WHERE rn = ${graft.queries.TextQueries.PrioritySampleK + 1})
+      |SELECT cast(rn AS bigint) AS smp_rank, doc_id, w, u, p_milli,
+      |  greatest(w * 1000, tau_milli) AS w_hat_milli
+      |FROM rk CROSS JOIN tau
+      |WHERE rn <= ${graft.queries.TextQueries.PrioritySampleK}
+      |ORDER BY rn""".stripMargin
 
   /** The q96 derivation chain shared by the standalone oracle (SQL ln)
     * and the resolved variant (injected terms): per-doc bigram stream,
@@ -1001,26 +1029,14 @@ object SparkEntry {
     // q86: FULL value twin — u (hex-char fold == Spark's conv), the milli
     // priorities, the rank order, τ and the DLT estimator are all exact
     // bigint arithmetic DuckDB re-derives end-to-end.
-    "q86_priority_sample" ->
-      s"""WITH d AS (SELECT doc_id, cast(n_chars AS bigint) AS w
-        |  FROM documents WHERE n_chars IS NOT NULL),
-        |s AS (SELECT doc_id, w,
-        |  list_reduce(list_prepend(0, list_transform(
-        |    string_split(substr(md5(cast(doc_id AS varchar)), 1, 8), ''),
-        |    c -> strpos('0123456789abcdef', c) - 1)),
-        |    (acc, x) -> acc * 16 + x) + 1 AS u
-        |  FROM d),
-        |p AS (SELECT doc_id, w, u,
-        |  (w * 4294967296 * 1000) // u AS p_milli FROM s),
-        |rk AS (SELECT *, row_number() OVER
-        |  (ORDER BY p_milli DESC, doc_id) AS rn FROM p),
-        |tau AS (SELECT p_milli AS tau_milli FROM rk
-        |  WHERE rn = ${graft.queries.TextQueries.PrioritySampleK + 1})
-        |SELECT cast(rn AS bigint) AS smp_rank, doc_id, w, u, p_milli,
-        |  greatest(w * 1000, tau_milli) AS w_hat_milli
-        |FROM rk CROSS JOIN tau
-        |WHERE rn <= ${graft.queries.TextQueries.PrioritySampleK}
-        |ORDER BY rn""".stripMargin,
+    "q86_priority_sample" -> PrioritySampleOracleSql,
+
+    // q97: the STREAMED priority sample (bounded top-(k+1) state through
+    // complete-mode micro-batches) is a merge monoid, so it binds q86's
+    // oracle string verbatim — DuckDB pins readStream → codegen priority
+    // map → top-rows aggregation end-to-end (the q75/q78/q79/q90 shared-
+    // oracle discipline).
+    "q97_stream_sample" -> PrioritySampleOracleSql,
 
     // q87: FULL value twin — the oracle unrolls all R merge rounds as
     // CTEs: per-round pair census over the weighted vocab encoding,

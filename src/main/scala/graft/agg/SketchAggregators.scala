@@ -181,4 +181,50 @@ object SketchAggregators {
     override def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
+
+  // ---- exact top-k rows by priority (mergeable — the streaming q86 face)
+
+  /** EXACT bounded top-k over 4-long rows (p, id, a, b), ordered by
+    * (p DESC, id ASC): a merge MONOID (union-then-truncate is associative,
+    * commutative, idempotent on the kept set), so it is streaming-complete-
+    * mode-safe with O(k) state — the aggregate-side twin of TakeOrdered,
+    * for plans where the funnel must live INSIDE an aggregation (q97). */
+  final class TopRowsAggregator(k: Int) extends Aggregator[
+      (Long, Long, Long, Long),
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)],
+      Array[Byte]] {
+    private def trim(b: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]) = {
+      if (b.length > k) {
+        val kept = b.sortBy(r => (-r._1, r._2)).take(k)
+        b.clear(); b ++= kept
+      }
+      b
+    }
+    override def zero = scala.collection.mutable.ArrayBuffer.empty
+    override def reduce(b: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)],
+        a: (Long, Long, Long, Long)) = trim(b += a)
+    override def merge(x: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)],
+        y: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]) = trim(x ++= y)
+    override def finish(b: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)])
+        : Array[Byte] = TopRowsCodec.serialize(b.sortBy(r => (-r._1, r._2)).toSeq)
+    override def bufferEncoder:
+        Encoder[scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]] =
+      Encoders.kryo[scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Wire form of the top-rows result: k × 4 big-endian longs. */
+  object TopRowsCodec {
+    def serialize(rows: Seq[(Long, Long, Long, Long)]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(rows.length * 32)
+      rows.foreach { r => bb.putLong(r._1); bb.putLong(r._2)
+        bb.putLong(r._3); bb.putLong(r._4) }
+      bb.array()
+    }
+    def deserialize(bytes: Array[Byte]): Seq[(Long, Long, Long, Long)] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Seq.fill(bytes.length / 32)(
+        (bb.getLong(), bb.getLong(), bb.getLong(), bb.getLong()))
+    }
+  }
 }

@@ -64,7 +64,8 @@ object ScaleDecade {
       "q93_stream_join",
       "q94_kmeans",
       "q95_cluster_sample",
-      "q96_lm_perplexity")
+      "q96_lm_perplexity",
+      "q97_stream_sample")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all
