@@ -295,7 +295,10 @@ object SparkEntry {
     // q97: the q86 priority sample through complete-mode micro-batches
     // (bounded top-(k+1) monoid state) — shares q86's oracle verbatim.
     "q97_stream_sample" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamSample.streamPrioritySample(s, d))
+      graft.streaming.StreamSample.streamPrioritySample(s, d)),
+    // q98: AMS F₂ from the Count-Sketch buffer — exact census twin +
+    // the √(8/width) tail-bound verdict (audit-twin discipline).
+    "q98_ams_f2" -> SketchQueries.amsF2 _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1037,6 +1040,21 @@ object SparkEntry {
     // map → top-rows aggregation end-to-end (the q75/q78/q79/q90 shared-
     // oracle discipline).
     "q97_stream_sample" -> PrioritySampleOracleSql,
+
+    // q98: audit-twin — the oracle re-derives the exact F₂ census (per-key
+    // squared counts, key count, total weight) and the floored √(8/width)
+    // bound constant, and asserts the in-plan verdict (the q32/q85
+    // contract: Spark can only emit true when the kernel estimate
+    // genuinely sits inside the AMS tail bound).
+    "q98_ams_f2" ->
+      """WITH c AS (SELECT user_id, cast(count(*) AS bigint) AS c
+        |  FROM events GROUP BY user_id)
+        |SELECT cast(sum(c * c) AS bigint) AS exact_f2,
+        |  cast(count(*) AS bigint) AS n_keys,
+        |  cast(sum(c) AS bigint) AS f1,
+        |  cast(floor(sqrt(8.0 / 4096) * 1000) AS bigint) AS bound_milli,
+        |  true AS within_bound
+        |FROM c""".stripMargin,
 
     // q87: FULL value twin — the oracle unrolls all R merge rounds as
     // CTEs: per-round pair census over the weighted vocab encoding,

@@ -503,4 +503,46 @@ object SketchQueries {
           * lit(4096L) <= lit(8L) * col("f2")).as("within_bound"))
       .orderBy(desc("delta_abs"), asc("user_id"))
   }
+
+  // ---- q98: AMS second-moment estimation (Alon–Matias–Szegedy, STOC'96) ----
+
+  private val AmsWidth = 4096
+
+  /** q98: stream F₂ (self-join size / skew statistic — the classic AMS
+    * application) estimated from the SAME Count-Sketch buffer the point
+    * queries use ([[graft.sketch.CountSketch.f2Estimate]]): one mergeable
+    * whole-table sketch aggregate, exact census twin for the audit.
+    *
+    * Oracle contract = the q32/q60/q64 audit-twin discipline: the exact
+    * side (per-key F₂, key count, total weight) is fully DuckDB-derivable;
+    * the kernel estimate itself is not SQL-expressible, so it is asserted
+    * through the verdict column — |est − F₂|·10³ ≤ F₂·bound_milli with
+    * bound_milli = ⌊√(8/width)·10³⌋ (the AMS median-of-rows tail bound,
+    * ~4.4% at width 4096; the one √ is evaluated on the same exactly-
+    * representable dyadic 8/4096 in both engines, so the floored constant
+    * is cross-engine identical). The verdict can only read true when the
+    * estimate genuinely lands inside the bound.
+    *
+    * Scale shape: one exact groupBy census (the shuffle the exact answer
+    * needs anyway), one O(sketch)-state aggregate, a one-row driver
+    * collect of the sketch binary. At 100 TB the estimate path alone runs
+    * without the census (the audit is the gate's job, not production's). */
+  def amsF2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("k"))
+    val ex = ev.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_f2"),
+        count(lit(1)).as("n_keys"), sum(col("c")).as("f1"))
+      .head()
+    val (exactF2, nKeys, f1) = (ex.getLong(0), ex.getLong(1), ex.getLong(2))
+    val skBytes = ev
+      .agg(cs_sketch(col("k"), lit(1L), depth = 5, width = AmsWidth))
+      .head().getAs[Array[Byte]](0)
+    val est = graft.sketch.CountSketch.deserialize(skBytes).f2Estimate
+    val boundMilli = math.floor(math.sqrt(8.0 / AmsWidth) * 1000).toLong
+    Seq((exactF2, nKeys, f1, boundMilli,
+      math.abs(est - exactF2) * 1000L <= exactF2 * boundMilli))
+      .toDF("exact_f2", "n_keys", "f1", "bound_milli", "within_bound")
+  }
 }

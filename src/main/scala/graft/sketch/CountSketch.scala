@@ -61,6 +61,30 @@ final class CountSketch private (
 
   def query(key: String): Long = query(Hash128.ofString(key, seed))
 
+  /** AMS second-moment estimate (Alon–Matias–Szegedy, STOC'96): each row's
+    * Σ_w counter² is an unbiased F₂ estimator with Var ≤ 2F₂²/width, and
+    * the all-rows median tightens the tail — |est − F₂| ≤ √(8/width)·F₂
+    * with constant probability per row, amplified by the median. Count-
+    * Sketch IS the AMS structure (signed row hashes), so F₂ falls out of
+    * the same buffer the point queries use — no extra build pass.
+    * Int64 envelope: Σ counter² ≤ depth-free per-row bound
+    * width·(F₁/1)²… practically F₁ ≤ 3·10⁹ keeps every square < 2⁶³;
+    * beyond that, estimate on doubles (documented, not needed at gate
+    * scales). */
+  def f2Estimate: Long = {
+    val ests = new Array[Long](depth)
+    var i = 0
+    while (i < depth) {
+      var s = 0L
+      var j = 0
+      while (j < width) { val c = counters(i * width + j); s += c * c; j += 1 }
+      ests(i) = s
+      i += 1
+    }
+    java.util.Arrays.sort(ests)
+    ests(depth / 2)
+  }
+
   def merge(other: CountSketch): CountSketch = {
     require(other.depth == depth && other.width == width && other.seed == seed,
       "incompatible Count sketches")

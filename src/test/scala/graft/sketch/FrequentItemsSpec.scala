@@ -38,6 +38,29 @@ class FrequentItemsSpec extends AnyFunSuite {
     }
   }
 
+  test("CountSketch f2Estimate: exact when no row collides; AMS bound on the zipf stream") {
+    // few keys, wide rows: whp every row places the 8 keys in distinct
+    // cells, and then each row's sum of squares IS F2 exactly (signs
+    // square away) — deterministic under the fixed seed
+    val cs = CountSketch(5, 4096)
+    val small = (1 to 8).map(i => s"key$i" -> i.toLong * 3)
+    small.foreach { case (k, w) => (1L to w).foreach(_ => cs.update(k, 1L)) }
+    val f2Small = small.map { case (_, w) => w * w }.sum
+    assert(cs.f2Estimate === f2Small)
+    // full zipf stream: the median estimate sits inside the sqrt(8/w) tail
+    val big = CountSketch(5, 4096)
+    stream.foreach { case (k, w) => big.update(k, w) }
+    val f2 = truth.values.map(v => v.toDouble * v).sum
+    assert(math.abs(big.f2Estimate - f2) <= math.sqrt(8.0 / 4096) * f2,
+      s"est=${big.f2Estimate} exact=$f2")
+    // merge linearity: counters add, so the merged estimate is bit-equal
+    val halves = stream.zipWithIndex.partition(_._2 % 2 == 0)
+    val (a, b) = (CountSketch(5, 4096), CountSketch(5, 4096))
+    halves._1.foreach { case ((k, w), _) => a.update(k, w) }
+    halves._2.foreach { case ((k, w), _) => b.update(k, w) }
+    assert(a.merge(b).f2Estimate === big.f2Estimate)
+  }
+
   test("CountSketch serialize round-trip") {
     val cs = CountSketch(3, 512)
     stream.take(5000).foreach { case (k, w) => cs.update(k, w) }
