@@ -298,7 +298,10 @@ object SparkEntry {
       graft.streaming.StreamSample.streamPrioritySample(s, d)),
     // q98: AMS F₂ from the Count-Sketch buffer — exact census twin +
     // the √(8/width) tail-bound verdict (audit-twin discipline).
-    "q98_ams_f2" -> SketchQueries.amsF2 _
+    "q98_ams_f2" -> SketchQueries.amsF2 _,
+    // q99: equi-depth histogram — KLL i/8-quantile boundaries (gate-exact,
+    // quantile_disc-convention-identical) + one exact binning census.
+    "q99_equidepth" -> SketchQueries.equiDepthHistogram _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1055,6 +1058,36 @@ object SparkEntry {
         |  cast(floor(sqrt(8.0 / 4096) * 1000) AS bigint) AS bound_milli,
         |  true AS within_bound
         |FROM c""".stripMargin,
+
+    // q99: FULL value twin — the gate-k KLL's rank rule (the
+    // max(1, ⌈q·n⌉)-th order statistic) IS quantile_disc's convention, so
+    // the oracle re-derives the boundaries themselves, the binning, the
+    // zero-restored census and the cumulative masses.
+    "q99_equidepth" -> {
+      val B = graft.queries.SketchQueries.EquiDepthBins
+      val qcols = (1 until B)
+        .map(i => s"quantile_disc(l_extendedprice, ${i.toDouble / B}) AS b$i")
+        .mkString(", ")
+      val cases = (1 until B)
+        .map(i => s"WHEN l_extendedprice <= b$i THEN $i").mkString(" ")
+      val hi = (1 until B).map(i => s"SELECT $i AS bin, b$i AS h FROM b")
+        .mkString(" UNION ALL ") + s" UNION ALL SELECT $B, b$B FROM b"
+      s"""WITH b AS (SELECT $qcols, max(l_extendedprice) AS b$B FROM lineitem),
+        |binned AS (SELECT CASE $cases ELSE $B END AS bin
+        |  FROM lineitem CROSS JOIN b),
+        |census AS (SELECT bin, cast(count(*) AS bigint) AS cnt
+        |  FROM binned GROUP BY bin),
+        |bins AS (SELECT unnest(range(1, ${B + 1})) AS bin),
+        |hi AS ($hi)
+        |SELECT cast(bins.bin AS bigint) AS bin,
+        |  cast(floor(hi.h * 1000000) AS bigint) AS hi_micro,
+        |  coalesce(census.cnt, 0) AS cnt,
+        |  cast(sum(coalesce(census.cnt, 0)) OVER (ORDER BY bins.bin)
+        |    AS bigint) AS cum_cnt
+        |FROM bins JOIN hi ON hi.bin = bins.bin
+        |LEFT JOIN census ON census.bin = bins.bin
+        |ORDER BY bin""".stripMargin
+    },
 
     // q87: FULL value twin — the oracle unrolls all R merge rounds as
     // CTEs: per-round pair census over the weighted vocab encoding,

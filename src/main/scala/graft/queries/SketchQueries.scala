@@ -545,4 +545,53 @@ object SketchQueries {
       math.abs(est - exactF2) * 1000L <= exactF2 * boundMilli))
       .toDF("exact_f2", "n_keys", "f1", "bound_milli", "within_bound")
   }
+
+  // ---- q99: equi-depth histogram (the ANALYZE-stats operator) ----
+
+  private[graft] val EquiDepthBins = 8
+
+  /** q99: equi-depth histogram of l_extendedprice — the statistics
+    * operator every optimizer's ANALYZE runs: boundaries = the i/B
+    * quantiles from ONE KLL aggregate, then one exact binning census pass
+    * against the broadcast boundary literals.
+    *
+    * Why fully oracle-derivable (stronger than an audit twin): at the
+    * gate k the KLL is compaction-free, and its rank rule — the
+    * max(1, ⌈q·n⌉)-th order statistic — is EXACTLY DuckDB's
+    * `quantile_disc` convention (verified for the i/8 grid), so the
+    * boundaries themselves, not just the counts, are cross-engine
+    * derivable (the q08 discipline extended from point quantiles to the
+    * whole histogram). At production k the same plan degrades gracefully
+    * under the q64-audited 2/k rank bound — bins become ≈N/B ± 2N/k.
+    *
+    * Scale shape: one O(sketch)-state aggregate, a B-value driver
+    * collect, one codegen binning pass + a B-group census; empty bins
+    * (duplicate-heavy boundaries) are restored so the contract is total. */
+  def equiDepthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    equiDepthOn(spark,
+      Tables.lineitem(spark, sfDir).select(col("l_extendedprice").as("x")))
+
+  /** The q99 core over any single-double-column frame `x` — split out for
+    * the spec's degenerate-distribution fixtures. */
+  private[graft] def equiDepthOn(spark: SparkSession, li: DataFrame): DataFrame = {
+    import spark.implicits._
+    val skRow = li
+      .agg(kll_sketch(col("x"), k = 65536).as("sk"), max(col("x")).as("mx"))
+      .head()
+    val sk = graft.sketch.KllSketch.deserialize(skRow.getAs[Array[Byte]]("sk"))
+    val bounds = (1 until EquiDepthBins)
+      .map(i => sk.quantile(i.toDouble / EquiDepthBins)) :+ skRow.getDouble(1)
+    val binCol = bounds.init.zipWithIndex.foldRight(lit(EquiDepthBins.toLong)) {
+      case ((b, i), acc) => when(col("x") <= lit(b), lit((i + 1).toLong)).otherwise(acc)
+    }
+    val cnt = li.withColumn("bin", binCol)
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
+    var cum = 0L
+    (1 to EquiDepthBins).map { i =>
+      val c = cnt.getOrElse(i.toLong, 0L)
+      cum += c
+      (i.toLong, math.floor(bounds(i - 1) * 1e6).toLong, c, cum)
+    }.toDF("bin", "hi_micro", "cnt", "cum_cnt").orderBy(col("bin"))
+  }
 }

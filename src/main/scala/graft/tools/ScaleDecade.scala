@@ -66,7 +66,8 @@ object ScaleDecade {
       "q95_cluster_sample",
       "q96_lm_perplexity",
       "q97_stream_sample",
-      "q98_ams_f2")
+      "q98_ams_f2",
+      "q99_equidepth")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all
