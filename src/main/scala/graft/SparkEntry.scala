@@ -301,7 +301,10 @@ object SparkEntry {
     "q98_ams_f2" -> SketchQueries.amsF2 _,
     // q99: equi-depth histogram — KLL i/8-quantile boundaries (gate-exact,
     // quantile_disc-convention-identical) + one exact binning census.
-    "q99_equidepth" -> SketchQueries.equiDepthHistogram _
+    "q99_equidepth" -> SketchQueries.equiDepthHistogram _,
+    // q100: the TPC-H Q1 pricing summary extended with ROLLUP — one-pass
+    // grouping-sets aggregate, per-row micro-floored money terms.
+    "q100_pricing_rollup" -> OlapQueries.pricingRollup _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1058,6 +1061,33 @@ object SparkEntry {
         |  cast(floor(sqrt(8.0 / 4096) * 1000) AS bigint) AS bound_milli,
         |  true AS within_bound
         |FROM c""".stripMargin,
+
+    // q100: FULL value twin — the oracle re-runs the rollup with the
+    // identical per-row micro-floored money terms (same IEEE double
+    // products) and the same epoch-µs cutoff; DuckDB's GROUP BY ROLLUP
+    // mirrors Spark's rollup() grouping sets exactly.
+    "q100_pricing_rollup" ->
+      """WITH f AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    cast(floor(l_quantity * 1000000) AS bigint) AS qty_micro,
+        |    cast(floor(l_extendedprice * 1000000) AS bigint) AS base_micro,
+        |    cast(floor(l_extendedprice * (1 - l_discount) * 1000000)
+        |      AS bigint) AS disc_micro,
+        |    cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |      * 1000000) AS bigint) AS charge_micro,
+        |    cast(floor(l_discount * 1000000) AS bigint) AS discount_micro
+        |  FROM lineitem WHERE epoch_us(l_shipdate) <= 904694400000000)
+        |SELECT coalesce(rf, '<all>') AS rf, coalesce(ls, '<all>') AS ls,
+        |  cast(count(*) AS bigint) AS n_rows,
+        |  cast(sum(qty_micro) AS bigint) AS sum_qty_micro,
+        |  cast(sum(base_micro) AS bigint) AS sum_base_micro,
+        |  cast(sum(disc_micro) AS bigint) AS sum_disc_micro,
+        |  cast(sum(charge_micro) AS bigint) AS sum_charge_micro,
+        |  cast(sum(qty_micro) // count(*) AS bigint) AS avg_qty_micro,
+        |  cast(sum(base_micro) // count(*) AS bigint) AS avg_price_micro,
+        |  cast(sum(discount_micro) // count(*) AS bigint) AS avg_disc_micro
+        |FROM f GROUP BY ROLLUP(rf, ls)
+        |ORDER BY rf, ls""".stripMargin,
 
     // q99: FULL value twin — the gate-k KLL's rank rule (the
     // max(1, ⌈q·n⌉)-th order statistic) IS quantile_disc's convention, so

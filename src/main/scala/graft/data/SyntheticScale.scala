@@ -97,8 +97,15 @@ object SyntheticScale {
         (pmod(xxhash64(col("id"), lit(32)), lit(9000000)).cast("double")
           / lit(100.0) + lit(1000.0)).as("o_totalprice"))
 
-  /** lineitem: the columns q63 consumes. ~4 lines per order. */
-  def lineitem(spark: SparkSession, n: Long, parts: Int): DataFrame =
+  /** lineitem: the columns q63/q90/q100 consume. ~4 lines per order; the
+    * TPC-H detail columns (quantity/discount/tax/flags/shipdate) follow
+    * the testdata shapes so the Q1 rollup's group structure survives the
+    * decade. */
+  def lineitem(spark: SparkSession, n: Long, parts: Int): DataFrame = {
+    val flags = typedLit(Seq("A", "N", "R"))
+    val stats = typedLit(Seq("F", "O"))
+    val t0 = lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+    val spanUs = 2500L * 24 * 3600 * 1000000 // ~1995→2001, the testdata span
     spark.range(0L, n, 1L, parts)
       .select(
         pmod(xxhash64(col("id"), lit(41)), lit(math.max(1L, n / 4))).as("l_orderkey"),
@@ -106,7 +113,22 @@ object SyntheticScale {
         pmod(xxhash64(col("id"), lit(43)), lit(10000)).as("l_suppkey"),
         pmod(xxhash64(col("id"), lit(44)), lit(200000)).as("l_partkey"),
         (pmod(xxhash64(col("id"), lit(45)), lit(9000000)).cast("double")
-          / lit(100.0) + lit(900.0)).as("l_extendedprice"))
+          / lit(100.0) + lit(900.0)).as("l_extendedprice"),
+        (pmod(xxhash64(col("id"), lit(46)), lit(50)) + 1).cast("double")
+          .as("l_quantity"),
+        (pmod(xxhash64(col("id"), lit(47)), lit(11)).cast("double")
+          / lit(100.0)).as("l_discount"),
+        (pmod(xxhash64(col("id"), lit(48)), lit(9)).cast("double")
+          / lit(100.0)).as("l_tax"),
+        element_at(flags,
+          (pmod(xxhash64(col("id"), lit(49)), lit(3)) + 1).cast("int"))
+          .as("l_returnflag"),
+        element_at(stats,
+          (pmod(xxhash64(col("id"), lit(50)), lit(2)) + 1).cast("int"))
+          .as("l_linestatus"),
+        timestamp_micros(unix_micros(t0) +
+          pmod(xxhash64(col("id"), lit(55)), lit(spanUs))).as("l_shipdate"))
+  }
 
   /** events: the columns the sessionize family (q54/q57/q75) and the
     * attribution join (q93) consume — testdata shape (sf0.1 ≈ 100k rows /

@@ -67,7 +67,8 @@ object ScaleDecade {
       "q96_lm_perplexity",
       "q97_stream_sample",
       "q98_ams_f2",
-      "q99_equidepth")
+      "q99_equidepth",
+      "q100_pricing_rollup")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

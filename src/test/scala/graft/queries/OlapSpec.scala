@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** q100: the rollup pricing summary against a driver-side JVM reference
+  * and the grouping-sets additivity invariants. */
+class OlapSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("q100: gate output equals the JVM reference rollup at sf0.001") {
+    val dir = sf("sf0.001")
+    val cutoff = 904694400000000L
+    val rows = Tables.lineitem(spark, dir)
+      .filter(unix_micros(col("l_shipdate").cast("timestamp")) <= cutoff)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .as[(String, String, Double, Double, Double, Double)].collect()
+    val agg = scala.collection.mutable.Map
+      .empty[(String, String), Array[Long]]
+    def acc(key: (String, String), r: (String, String, Double, Double, Double, Double)): Unit = {
+      val a = agg.getOrElseUpdate(key, Array.fill(6)(0L))
+      val (_, _, q, p, d, t) = r
+      a(0) += 1
+      a(1) += math.floor(q * 1e6).toLong
+      a(2) += math.floor(p * 1e6).toLong
+      a(3) += math.floor(p * (1 - d) * 1e6).toLong
+      a(4) += math.floor(p * (1 - d) * (1 + t) * 1e6).toLong
+      a(5) += math.floor(d * 1e6).toLong
+    }
+    rows.foreach { r =>
+      acc((r._1, r._2), r); acc((r._1, "<all>"), r); acc(("<all>", "<all>"), r)
+    }
+    val ref = agg.toSeq.sortBy(_._1).map { case ((rf, ls), a) =>
+      (rf, ls, a(0), a(1), a(2), a(3), a(4),
+        a(1) / a(0), a(2) / a(0), a(5) / a(0))
+    }
+    val got = OlapQueries.pricingRollup(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got === ref)
+    spark.catalog.clearCache()
+  }
+
+  test("q100: subtotals are additive and the grand total closes the cube") {
+    val got = OlapQueries.pricingRollup(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(6))).toMap
+    val base = got.filter { case ((rf, ls), _) => rf != "<all>" && ls != "<all>" }
+    val flags = base.keys.map(_._1).toSet
+    flags.foreach { rf =>
+      val sub = got((rf, "<all>"))
+      val parts = base.filter(_._1._1 == rf).values
+      assert(sub._1 === parts.map(_._1).sum, s"row subtotal for $rf")
+      assert(sub._2 === parts.map(_._2).sum, s"charge subtotal for $rf")
+    }
+    val total = got(("<all>", "<all>"))
+    assert(total._1 === base.values.map(_._1).sum)
+    assert(total._2 === base.values.map(_._2).sum)
+    spark.catalog.clearCache()
+  }
+}

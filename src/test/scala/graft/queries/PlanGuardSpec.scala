@@ -317,6 +317,14 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q100 rollup is one Expand+aggregate pass: no join, no window") {
+    val p = plan("q100_pricing_rollup")
+    assert(p.contains("Expand"), p) // rollup's grouping-sets expansion
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q92 drift plan is window-free and never cartesian on the word stream") {
     val p = plan("q92_source_drift")
     assert(!p.contains("Window"), p)
