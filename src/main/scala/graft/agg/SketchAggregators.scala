@@ -193,8 +193,12 @@ object SketchAggregators {
       (Long, Long, Long, Long),
       scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)],
       Array[Byte]] {
+    // amortized trim: let the buffer grow to 2k before sorting down to k,
+    // so the per-row cost is O(log k) amortized instead of a sort per row
+    // past k; every trim keeps a superset of the true top-k, and finish
+    // sorts the final buffer, so laziness never changes the result
     private def trim(b: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]) = {
-      if (b.length > k) {
+      if (b.length >= 2 * k) {
         val kept = b.sortBy(r => (-r._1, r._2)).take(k)
         b.clear(); b ++= kept
       }
@@ -206,7 +210,8 @@ object SketchAggregators {
     override def merge(x: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)],
         y: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]) = trim(x ++= y)
     override def finish(b: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)])
-        : Array[Byte] = TopRowsCodec.serialize(b.sortBy(r => (-r._1, r._2)).toSeq)
+        : Array[Byte] =
+      TopRowsCodec.serialize(b.sortBy(r => (-r._1, r._2)).take(k).toSeq)
     override def bufferEncoder:
         Encoder[scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]] =
       Encoders.kryo[scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]]

@@ -1854,7 +1854,14 @@ object TextQueries {
   /** q91: top-20 PMI collocations — the collocation-extraction face of the
     * text stack (q83 ranks documents; this ranks word PAIRS). One bigram
     * census shuffle (vocab²-bounded rows) with broadcast marginal joins; a
-    * TakeOrdered(k) funnel; k driver rows. */
+    * TakeOrdered(k) funnel; k driver rows.
+    *
+    * 100 TB note: the marginals are VOCAB-sized, not corpus-sized — the
+    * broadcast is the right plan for any vocabulary that fits an executor
+    * (collocation extraction is vocabulary-scale work by nature). A
+    * misspelling-heavy open-web vocabulary that doesn't fit would switch
+    * the two marginal joins to shuffle joins — value-identical, the same
+    * equi-join keys — which is a one-line hint change, not a redesign. */
   def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     pmiModel(spark, sfDir).zipWithIndex.map { case ((bg, cab, ca, cb, l, p), i) =>
@@ -1878,7 +1885,14 @@ object TextQueries {
   /** The trained model, driver-materialized once (bounded: bigram TYPES —
     * vocab²-bounded, NOT corpus-bounded): (bg, cab, ca, term_micro) rows
     * plus the vocabulary size V. Training = q91's bigram census + its
-    * left marginal + add-one smoothing p(w|v) = (cab+1)/(ca+V). */
+    * left marginal + add-one smoothing p(w|v) = (cab+1)/(ca+V).
+    *
+    * 100 TB note: CCNet's production form trains the LM on a BOUNDED
+    * reference corpus (Wikipedia) and scores the big corpus against it —
+    * the model is a dimension by construction. Self-training on an
+    * open-web corpus would first prune to the top-M bigrams (standard
+    * KenLM pruning), which keeps this exact plan shape; only the
+    * dimension build changes. */
   private[graft] def lmModel(spark: SparkSession, sfDir: String)
       : (Long, Seq[(String, Long, Long, Long)]) = {
     val census = pmiCensus(spark, sfDir)

@@ -95,9 +95,11 @@ object StreamJoin {
       .select(col("event_id").as("pid"), col("user_id").as("p_user"),
         col("ts").as("pts"), col("tus").as("ptus"), col("value"))
       .withWatermark("pts", WatermarkDelay)
+    // the interval literal derives from HorizonUs so the streamed range
+    // condition and the batch twin's bound can never drift apart
     val pairs = clicks.join(buys,
         expr("user_id = p_user AND pts >= cts AND " +
-          "pts <= cts + interval 2 hours"))
+          s"pts <= cts + interval ${HorizonUs / 1000000L} seconds"))
       .select(col("user_id"), col("cid"), col("pid"),
         (col("ptus") - col("ctus")).as("lag_us"),
         floor(col("value") * lit(1000000L)).cast("long").as("val_micro"))
