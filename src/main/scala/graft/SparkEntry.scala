@@ -304,7 +304,10 @@ object SparkEntry {
     "q99_equidepth" -> SketchQueries.equiDepthHistogram _,
     // q100: the TPC-H Q1 pricing summary extended with ROLLUP — one-pass
     // grouping-sets aggregate, per-row micro-floored money terms.
-    "q100_pricing_rollup" -> OlapQueries.pricingRollup _
+    "q100_pricing_rollup" -> OlapQueries.pricingRollup _,
+    // q101: HLL set algebra — |A|, |B|, |A∪B| (register-max union),
+    // |A∩B| / |A\B| by inclusion–exclusion, with 3σ audit verdicts.
+    "q101_hll_set_algebra" -> SketchQueries.hllSetAlgebra _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1118,6 +1121,31 @@ object SparkEntry {
         |LEFT JOIN census ON census.bin = bins.bin
         |ORDER BY bin""".stripMargin
     },
+
+    // q101: audit-twin — the oracle re-derives the three exact
+    // cardinalities (conditional countDistincts over the same epoch-µs
+    // cutoff) and the two inclusion–exclusion identities; the HLL-derived
+    // estimates are asserted through the 3σ verdicts (Spark can only emit
+    // true when each estimate genuinely lands inside the published bound).
+    "q101_hll_set_algebra" ->
+      """SELECT
+        |  count(DISTINCT CASE WHEN epoch_us(l_shipdate) <= 896659200000000
+        |    THEN l_orderkey END) AS exact_a,
+        |  count(DISTINCT CASE WHEN epoch_us(l_shipdate) > 896659200000000
+        |    THEN l_orderkey END) AS exact_b,
+        |  count(DISTINCT l_orderkey) AS exact_union,
+        |  count(DISTINCT CASE WHEN epoch_us(l_shipdate) <= 896659200000000
+        |      THEN l_orderkey END)
+        |    + count(DISTINCT CASE WHEN epoch_us(l_shipdate) > 896659200000000
+        |      THEN l_orderkey END)
+        |    - count(DISTINCT l_orderkey) AS exact_intersect,
+        |  count(DISTINCT l_orderkey)
+        |    - count(DISTINCT CASE WHEN epoch_us(l_shipdate) > 896659200000000
+        |      THEN l_orderkey END) AS exact_a_only,
+        |  true AS union_within_bound,
+        |  true AS intersect_within_bound,
+        |  true AS diff_within_bound
+        |FROM lineitem""".stripMargin,
 
     // q87: FULL value twin — the oracle unrolls all R merge rounds as
     // CTEs: per-round pair census over the weighted vocab encoding,

@@ -264,6 +264,20 @@ object SketchFunctions {
       if (bytes == null) Double.NaN else hllMemo.get(bytes, HyperLogLog.deserialize).standardError
     ).apply(sketch)
 
+  /** Register-wise max of two HLL sketches — the |A ∪ B| estimator and the
+    * root of the sketch set-algebra surface (intersection and difference
+    * fall out by inclusion–exclusion on the three estimates). Merge is
+    * associative, commutative and IDEMPOTENT, so unions of overlapping
+    * shards never double-count — the property exact distinct aggregation
+    * loses the moment the sets live on different machines. Deserializes
+    * fresh copies, so the in-place register merge never aliases cached
+    * sketches. */
+  def hll_set_union(a: Column, b: Column): Column =
+    functions.udf((x: Array[Byte], y: Array[Byte]) =>
+      if (x == null || y == null) null
+      else HyperLogLog.deserialize(x).merge(HyperLogLog.deserialize(y)).serialize()
+    ).apply(a, b)
+
   def bloom_contains(sketch: Column, key: Column): Column =
     functions.udf((bytes: Array[Byte], key: String) =>
       bytes != null && key != null && bloomMemo.get(bytes, BloomFilter.deserialize).mightContain(key)

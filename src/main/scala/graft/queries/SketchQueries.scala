@@ -594,4 +594,71 @@ object SketchQueries {
       (i.toLong, math.floor(bounds(i - 1) * 1e6).toLong, c, cum)
     }.toDF("bin", "hi_micro", "cnt", "cum_cnt").orderBy(col("bin"))
   }
+
+  // ---- q101: HLL set algebra (union / intersection / difference) ----
+
+  /** q101's segment cutoff (1998-06-01 UTC, near the shipdate median), as
+    * epoch µs — the q100/q52 timezone-parse-free discipline. */
+  private val SetAlgebraCutoffUs = 896659200000000L
+
+  /** HLL's relative standard error at p=14 (1.04/√2¹⁴). */
+  private val HllP14Sigma = 1.04 / math.sqrt(16384.0)
+
+  /** q101: distinct-set ALGEBRA on HLL sketches — the capability exact
+    * distinct counting cannot ship at 100 TB: |A|, |B|, |A ∪ B| (register
+    * max via [[graft.agg.SketchFunctions.hll_set_union]]), |A ∩ B| and |A \ B|
+    * by inclusion–exclusion, over the order-key sets shipped before/after
+    * the cutoff. Both sketches build in ONE conditional pass (the
+    * aggregator skips the `when` nulls), so the input is scanned once.
+    *
+    * Oracle contract = the q05/q98 audit-twin discipline: the exact sides
+    * (conditional countDistincts; intersection/difference are exact
+    * integer identities of the three exacts) are fully DuckDB-derivable;
+    * the estimates are asserted through verdicts — each derived estimate
+    * must land within 3σ of its exact value with σ scaled by the SUM of
+    * the cardinalities it composes (inclusion–exclusion compounds the
+    * three independent errors; |∪| ≤ |A|+|B| bounds each term). At the
+    * gate scale the sketches sit in the linear-counting regime where the
+    * estimate is far tighter than the bound; the bound itself is the
+    * published one, so the verdict stays honest at any scale.
+    *
+    * Scale shape: one scan → three partial-aggregating distinct counts
+    * (the audit) + two KB-sized sketch buffers; production runs the
+    * sketch path alone — set algebra over shards is then register-wise
+    * max/merge with NO re-scan, the reference's GetAllKeys union role
+    * (/root/reference/Simulation/CountMax.cs:101-108) at bounded space. */
+  def hllSetAlgebra(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").cast("string").as("k"),
+      (unix_micros(col("l_shipdate").cast("timestamp"))
+        <= lit(SetAlgebraCutoffUs)).as("early"))
+    val agg = li.agg(
+      hll_sketch(when(col("early"), col("k"))).as("sk_a"),
+      hll_sketch(when(!col("early"), col("k"))).as("sk_b"),
+      countDistinct(when(col("early"), col("k"))).as("exact_a"),
+      countDistinct(when(!col("early"), col("k"))).as("exact_b"),
+      countDistinct(col("k")).as("exact_union"))
+    val sigma = lit(3.0 * HllP14Sigma)
+    def within(est: Column, exact: Column, scale: Column): Column =
+      abs(est.cast("double") - exact.cast("double")) <=
+        greatest(lit(2.0), sigma * scale.cast("double"))
+    agg
+      .withColumn("est_a", hll_count(col("sk_a")))
+      .withColumn("est_b", hll_count(col("sk_b")))
+      .withColumn("est_union", hll_count(hll_set_union(col("sk_a"), col("sk_b"))))
+      .select(
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        (col("exact_a") + col("exact_b") - col("exact_union"))
+          .as("exact_intersect"),
+        (col("exact_union") - col("exact_b")).as("exact_a_only"),
+        within(col("est_union"), col("exact_union"), col("exact_union"))
+          .as("union_within_bound"),
+        within(col("est_a") + col("est_b") - col("est_union"),
+          col("exact_a") + col("exact_b") - col("exact_union"),
+          col("exact_a") + col("exact_b") + col("exact_union"))
+          .as("intersect_within_bound"),
+        within(col("est_union") - col("est_b"),
+          col("exact_union") - col("exact_b"),
+          col("exact_union") + col("exact_b")).as("diff_within_bound"))
+  }
 }
