@@ -307,7 +307,14 @@ object SparkEntry {
     "q100_pricing_rollup" -> OlapQueries.pricingRollup _,
     // q101: HLL set algebra — |A|, |B|, |A∪B| (register-max union),
     // |A∩B| / |A\B| by inclusion–exclusion, with 3σ audit verdicts.
-    "q101_hll_set_algebra" -> SketchQueries.hllSetAlgebra _
+    "q101_hll_set_algebra" -> SketchQueries.hllSetAlgebra _,
+    // q102: Bloom runtime-filter join — the dim filter's Bloom broadcast
+    // into the fact scan kills non-joining rows before the shuffle; the
+    // exact join removes false positives, so output == the plain join.
+    "q102_bloom_join" -> OlapQueries.bloomJoinRevenue _,
+    // q103: TPC-H Q3 — three-table star join, micro-floored revenue,
+    // TakeOrdered top-10 with a total tie-break.
+    "q103_shipping_priority" -> OlapQueries.shippingPriority _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1146,6 +1153,35 @@ object SparkEntry {
         |  true AS intersect_within_bound,
         |  true AS diff_within_bound
         |FROM lineitem""".stripMargin,
+
+    // q102: FULL value twin — the Bloom is pure plan acceleration (false
+    // positives are removed by the exact join, and a Bloom has no false
+    // negatives), so the oracle is the plain join.
+    "q102_bloom_join" ->
+      """SELECT l_returnflag AS rf, cast(count(*) AS bigint) AS n_lines,
+        |  cast(count(DISTINCT l_orderkey) AS bigint) AS n_orders,
+        |  cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 1000000)
+        |    AS bigint)) AS bigint) AS revenue_micro
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q103: FULL value twin — same micro-floored revenue terms (identical
+    // IEEE double products), same epoch-µs pivots, same total tie-break.
+    "q103_shipping_priority" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us,
+        |  o_orderpriority,
+        |  cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 1000000)
+        |    AS bigint)) AS bigint) AS revenue_micro,
+        |  cast(count(*) AS bigint) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND epoch_us(o_orderdate) < 896659200000000
+        |  AND epoch_us(l_shipdate) > 896659200000000
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_micro DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
 
     // q87: FULL value twin — the oracle unrolls all R merge rounds as
     // CTEs: per-round pair census over the weighted vocab encoding,

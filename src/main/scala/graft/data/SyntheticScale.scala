@@ -88,14 +88,43 @@ object SyntheticScale {
           .as("embedding"),
         col("label"))
 
-  /** orders: the columns q62 consumes (key arithmetic + totalprice). */
-  def orders(spark: SparkSession, n: Long, parts: Int): DataFrame =
+  /** orders: the columns q62 consumes (key arithmetic + totalprice) plus
+    * the priority/date columns the relational joins (q102/q103) filter on.
+    * The pre-existing columns keep their exact round-6 derivations so the
+    * committed decade measurements stay comparable. */
+  def orders(spark: SparkSession, n: Long, parts: Int): DataFrame = {
+    val prios = typedLit(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW"))
+    val t0 = lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+    val spanUs = 2500L * 24 * 3600 * 1000000 // the lineitem shipdate span
     spark.range(0L, n, 1L, parts)
       .select(
         col("id").as("o_orderkey"),
         pmod(xxhash64(col("id"), lit(31)), lit(1000000)).as("o_custkey"),
         (pmod(xxhash64(col("id"), lit(32)), lit(9000000)).cast("double")
-          / lit(100.0) + lit(1000.0)).as("o_totalprice"))
+          / lit(100.0) + lit(1000.0)).as("o_totalprice"),
+        element_at(prios,
+          (pmod(xxhash64(col("id"), lit(33)), lit(5)) + 1).cast("int"))
+          .as("o_orderpriority"),
+        timestamp_micros(unix_micros(t0) +
+          pmod(xxhash64(col("id"), lit(34)), lit(spanUs))).as("o_orderdate"))
+  }
+
+  /** customer: the dimension side of the Q3-shaped joins. FIXED size — a
+    * dense c_custkey covering orders' whole o_custkey domain — because at
+    * 100 TB the fact tables decade up while dimension cardinality barely
+    * moves; the measured exponents then read the fact-side cost, which is
+    * the term that matters. */
+  def customer(spark: SparkSession, parts: Int): DataFrame = {
+    val segs = typedLit(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY"))
+    spark.range(0L, 1000000L, 1L, parts)
+      .select(
+        col("id").as("c_custkey"),
+        element_at(segs,
+          (pmod(xxhash64(col("id"), lit(35)), lit(5)) + 1).cast("int"))
+          .as("c_mktsegment"))
+  }
 
   /** lineitem: the columns q63/q90/q100 consume. ~4 lines per order; the
     * TPC-H detail columns (quantity/discount/tax/flags/shipdate) follow
@@ -161,6 +190,7 @@ object SyntheticScale {
       "documents" -> (() => documents(spark, 5000L * scale, parts)),
       "embeddings" -> (() => embeddings(spark, 2000L * scale, parts)),
       "orders" -> (() => orders(spark, 150000L * scale, parts)),
+      "customer" -> (() => customer(spark, parts)),
       "lineitem" -> (() => lineitem(spark, 600000L * scale, parts)),
       "events" -> (() => events(spark, 100000L * scale, 1500L * scale, parts)))
     tables.foreach { case (name, build) =>

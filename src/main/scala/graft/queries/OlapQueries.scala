@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.agg.SketchFunctions.{bloom_sketch, bloom_contains}
 
 /**
  * Classic OLAP aggregates over the TPC-H-shaped tables — the "plain
@@ -59,4 +60,84 @@ object OlapQueries {
         expr("sum_base_micro div n_rows").as("avg_price_micro"),
         expr("sum_discount_micro div n_rows").as("avg_disc_micro"))
       .orderBy(col("rf"), col("ls"))
+
+  // ---- q102: Bloom runtime-filter join (semi-join reduction) ----
+
+  /** q102: revenue per returnflag over the lineitems of URGENT orders,
+    * accelerated by a RUNTIME FILTER — the Bloom filter of the filtered
+    * dimension's join keys is broadcast into the fact scan, so non-joining
+    * fact rows (~80% here) die BEFORE the join's shuffle. The exact join
+    * then removes the fpp-bounded false positives, so the output is
+    * provably the plain join's — the Bloom is pure plan acceleration (the
+    * q59/q80 two-phase shape in its relational role, and the mechanism
+    * behind Spark's own `spark.sql.optimizer.runtime.bloomFilter`).
+    *
+    * Scale shape: at 100 TB the dimension (TBs) may not broadcast, but its
+    * Bloom (MBs, one whole-table aggregate) always does — the fact-side
+    * shuffle shrinks by the join selectivity, which is THE dominant cost
+    * of a fact-dim join. fpp 1e-3 makes the residual verify ~free.
+    * Output = full value oracle (plain SQL join); OlapSpec pins the
+    * no-false-negative property and the measured row reduction. */
+  def bloomJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_orderkey"))
+    val bf = urgent.agg(bloom_sketch(col("o_orderkey").cast("string"),
+      expectedItems = 1 << 16, fpp = 1e-3).as("bf"))
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"), col("l_returnflag").as("rf"),
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(1000000L)).cast("long").as("rev_micro"))
+    val prefiltered = li.crossJoin(broadcast(bf))
+      .filter(bloom_contains(col("bf"), col("l_orderkey").cast("string")))
+      .drop("bf")
+    prefiltered
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("rev_micro")).as("revenue_micro"))
+      .orderBy(col("rf"))
+  }
+
+  // ---- q103: TPC-H Q3 (shipping-priority top-10) ----
+
+  /** q102/q103's date pivot (1998-06-01 UTC), epoch µs. */
+  private val Q3CutoffUs = 896659200000000L
+
+  /** q103: TPC-H Q3 — the canonical three-table star join: BUILDING-segment
+    * customers × their pre-cutoff orders × post-cutoff lineitems, top-10
+    * open orders by revenue. The segment filter prunes the dimension before
+    * its join; revenue is micro-floored at the row (the q100 discipline) so
+    * every sum is bigint-exact; the order date ships as epoch µs so no
+    * engine parses a timezone; top-10 funnels through TakeOrdered with the
+    * (revenue DESC, orderkey ASC) total tie-break.
+    *
+    * Scale shape: filters reach both scans; the customer dimension
+    * broadcasts (it is the smallest leg even at 100 TB after the segment
+    * cut, and if not, its Bloom does — q102); the orders×lineitem join
+    * shuffles on the join key with AQE free to pick the strategy; the
+    * top-10 is a per-partition heap funnel, never a global sort. */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === lit("BUILDING"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(unix_micros(col("o_orderdate").cast("timestamp")) < lit(Q3CutoffUs))
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(unix_micros(col("l_shipdate").cast("timestamp")) > lit(Q3CutoffUs))
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(1000000L)).cast("long").as("rev_micro"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("odate_us"), col("o_orderpriority"))
+      .agg(sum(col("rev_micro")).as("revenue_micro"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue_micro"), asc("l_orderkey"))
+      .limit(10)
+  }
 }

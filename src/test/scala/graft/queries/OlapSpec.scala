@@ -60,4 +60,67 @@ class OlapSpec extends SparkTestBase {
     assert(total._2 === base.values.map(_._2).sum)
     spark.catalog.clearCache()
   }
+
+  test("q102: bloom runtime-filter join == the plain join, and the filter genuinely reduces the fact side") {
+    val dir = sf("sf0.001")
+    val plain = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(1000000L)).cast("long")).as("revenue_micro"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    val got = OlapQueries.bloomJoinRevenue(spark, dir).collect().toSeq
+    assert(got.map(_.toSeq) === plain.map(_.toSeq))
+    // no false negatives + a real reduction: bloom positives sit between
+    // the true joining lines and the table size
+    import graft.agg.SketchFunctions._
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val bf = urgent.agg(bloom_sketch(col("o_orderkey").cast("string"),
+      expectedItems = 1 << 16, fpp = 1e-3).as("bf"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val total = li.count()
+    val positives = li.crossJoin(broadcast(bf))
+      .filter(bloom_contains(col("bf"), col("l_orderkey").cast("string")))
+      .count()
+    val trueLines = li.join(urgent, col("l_orderkey") === col("o_orderkey"),
+      "left_semi").count()
+    assert(positives >= trueLines, "a bloom false negative is impossible")
+    assert(positives < total, "the runtime filter must reduce the fact side")
+    spark.catalog.clearCache()
+  }
+
+  test("q103: gate output equals the JVM reference top-10 at sf0.001") {
+    val dir = sf("sf0.001")
+    val cutoff = 896659200000000L
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).as[Long].collect().toSet
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_orderpriority"))
+      .as[(Long, Long, Long, String)].collect()
+      .filter { case (_, ck, d, _) => d < cutoff && building(ck) }
+      .map { case (ok, _, d, pr) => ok -> (d, pr) }.toMap
+    val lis = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").cast("long"),
+        unix_micros(col("l_shipdate").cast("timestamp")),
+        col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Long, Double, Double)].collect()
+      .filter { case (ok, sd, _, _) => sd > cutoff && ords.contains(ok) }
+    val ref = lis.groupBy(_._1).toSeq.map { case (ok, rows) =>
+      val (d, pr) = ords(ok)
+      (ok, d, pr, rows.map(r => math.floor(r._3 * (1 - r._4) * 1e6).toLong).sum,
+        rows.size.toLong)
+    }.sortBy { case (ok, _, _, rev, _) => (-rev, ok) }.take(10)
+    val got = OlapQueries.shippingPriority(spark, dir)
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(got === ref)
+    spark.catalog.clearCache()
+  }
 }

@@ -365,6 +365,28 @@ class PlanGuardSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q102 bloom runtime filter sits below the join; never cartesian") {
+    val p = plan("q102_bloom_join")
+    // the bloom probe (the broadcast one-row sketch applied to the fact
+    // scan) must execute BELOW the exact equi-join — executed plans print
+    // top-down, so its line must come after the equi-join's
+    val joinIdx = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+      .map(p.indexOf).filter(_ >= 0).minOption.getOrElse(-1)
+    val probeIdx = p.indexOf("UDF(bf")
+    assert(joinIdx >= 0, p)
+    assert(probeIdx > joinIdx, s"bloom probe must be under the join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("q103 star join broadcasts the segment dimension and funnels top-10 through TakeOrdered") {
+    val p = plan("q103_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
   test("subset parity verdicts still pass at sf0.01 (the verify scale)") {
     // sf0.01 is where the driver's oracle runs; divisor is 2 there for q17
     // (2500 docs), so this exercises a genuinely proper subset
