@@ -314,7 +314,10 @@ object SparkEntry {
     "q102_bloom_join" -> OlapQueries.bloomJoinRevenue _,
     // q103: TPC-H Q3 — three-table star join, micro-floored revenue,
     // TakeOrdered top-10 with a total tie-break.
-    "q103_shipping_priority" -> OlapQueries.shippingPriority _
+    "q103_shipping_priority" -> OlapQueries.shippingPriority _,
+    // q104: CUBE(event_type, hour) with per-cell HLL distinct users — the
+    // grouping-sets × sketch composition, exact counts as the audit twin.
+    "q104_cube_distinct" -> OlapQueries.cubeDistinctUsers _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1182,6 +1185,22 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_micro DESC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    // q104: audit-twin — DuckDB re-derives every cube cell's count and
+    // exact distinct (same integral hour derivation; both operands
+    // non-negative, so // == div); the per-cell HLL estimates are
+    // asserted through the 3σ verdict.
+    "q104_cube_distinct" ->
+      """SELECT coalesce(et, '<all>') AS et,
+        |  coalesce(cast(hr AS varchar), '<all>') AS hr,
+        |  cast(count(*) AS bigint) AS n_events,
+        |  cast(count(DISTINCT u) AS bigint) AS exact_users,
+        |  true AS hll_within_bound
+        |FROM (SELECT event_type AS et,
+        |        (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |        user_id AS u FROM events)
+        |GROUP BY CUBE(et, hr)
+        |ORDER BY et, hr""".stripMargin,
 
     // q87: FULL value twin — the oracle unrolls all R merge rounds as
     // CTEs: per-round pair census over the weighted vocab encoding,

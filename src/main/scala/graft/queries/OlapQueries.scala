@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.agg.SketchFunctions.{bloom_sketch, bloom_contains}
+import graft.agg.SketchFunctions.{bloom_sketch, bloom_contains, hll_sketch, hll_count}
 
 /**
  * Classic OLAP aggregates over the TPC-H-shaped tables — the "plain
@@ -139,5 +139,45 @@ object OlapQueries {
         count(lit(1)).as("n_lines"))
       .orderBy(desc("revenue_micro"), asc("l_orderkey"))
       .limit(10)
+  }
+
+  // ---- q104: CUBE with a per-cell HLL distinct audit ----
+
+  /** HLL p=14 relative standard error (1.04/√2¹⁴). */
+  private val HllSigma = 1.04 / math.sqrt(16384.0)
+
+  /** q104: the dashboard aggregate — events CUBE(event_type, hour-of-day)
+    * with counts AND per-cell distinct users, where the distinct count is
+    * served by a PER-GROUP HLL sketch riding the same grouping-sets pass.
+    * This is the composition that matters at 100 TB: grouping sets
+    * multiply the aggregation fan-out (every row lands in 4 cube cells
+    * here), and exact per-cell distinct aggregation pays an expand+shuffle
+    * of the full key stream per cell — the KB-sized HLL buffer per cell
+    * costs the same one pass regardless of cell cardinality, and merged
+    * cells (register max) can be rolled up WITHOUT rescanning.
+    *
+    * Gate contract = the q05/q101 audit twin: exact per-cell distincts
+    * (DuckDB-derivable) plus the 3σ verdict the Spark side can only emit
+    * as true when every cell's estimate genuinely lands inside the bound.
+    * The hour bucket derives from epoch µs with integral div/mod (both
+    * operands non-negative — the domain where Spark `div` == DuckDB `//`). */
+  def cubeDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type").as("et0"),
+      expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24").as("hr0"),
+      col("user_id").cast("string").as("u"))
+    ev.cube(col("et0"), col("hr0"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("u")).as("exact_users"),
+        hll_sketch(col("u")).as("sk"))
+      .select(
+        coalesce(col("et0"), lit("<all>")).as("et"),
+        coalesce(col("hr0").cast("string"), lit("<all>")).as("hr"),
+        col("n_events"), col("exact_users"),
+        (abs(hll_count(col("sk")).cast("double")
+          - col("exact_users").cast("double")) <=
+          greatest(lit(2.0), lit(3.0 * HllSigma)
+            * col("exact_users").cast("double"))).as("hll_within_bound"))
+      .orderBy(col("et"), col("hr"))
   }
 }

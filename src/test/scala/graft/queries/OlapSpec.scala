@@ -123,4 +123,35 @@ class OlapSpec extends SparkTestBase {
     assert(got === ref)
     spark.catalog.clearCache()
   }
+
+  test("q104: cube cells equal the JVM reference, margins close, all HLL verdicts hold") {
+    val dir = sf("sf0.001")
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"),
+        col("user_id").cast("string"))
+      .as[(String, Long, String)].collect()
+    def cell(f: ((String, Long, String)) => (String, String)) =
+      rows.groupBy(f).map { case (k, rs) =>
+        k -> (rs.length.toLong, rs.map(_._3).distinct.length.toLong)
+      }
+    val ref = cell(r => (r._1, r._2.toString)) ++
+      cell(r => (r._1, "<all>")) ++
+      cell(r => ("<all>", r._2.toString)) ++
+      cell(_ => ("<all>", "<all>"))
+    val got = OlapQueries.cubeDistinctUsers(spark, dir).collect()
+    assert(got.length === ref.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert((r.getLong(2), r.getLong(3)) === ref(k), k.toString)
+      assert(r.getBoolean(4), s"HLL verdict failed for $k")
+    }
+    // margin closure: the grand total's event count is the sum of the
+    // base cells', and its distinct-user count is the global distinct
+    val base = got.filter(r => r.getString(0) != "<all>" && r.getString(1) != "<all>")
+    val grand = got.find(r => r.getString(0) == "<all>" && r.getString(1) == "<all>").get
+    assert(grand.getLong(2) === base.map(_.getLong(2)).sum)
+    assert(grand.getLong(3) === rows.map(_._3).distinct.length.toLong)
+    spark.catalog.clearCache()
+  }
 }
