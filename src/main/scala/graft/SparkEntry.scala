@@ -317,7 +317,11 @@ object SparkEntry {
     "q103_shipping_priority" -> OlapQueries.shippingPriority _,
     // q104: CUBE(event_type, hour) with per-cell HLL distinct users — the
     // grouping-sets × sketch composition, exact counts as the audit twin.
-    "q104_cube_distinct" -> OlapQueries.cubeDistinctUsers _
+    "q104_cube_distinct" -> OlapQueries.cubeDistinctUsers _,
+    // q105: the streamed HLL distinct build (complete-mode micro-batches;
+    // idempotent monoid ⇒ any slicing == batch) — shares q05's oracle.
+    "q105_stream_hll" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamSketch.streamHllUsers(s, d))
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -547,6 +551,14 @@ object SparkEntry {
       |ORDER BY rnk""".stripMargin
   }
 
+  /** q05/q105 share ONE oracle string: the streamed HLL build is
+    * bit-identical to the batch build (register-max merge is an
+    * idempotent monoid), so the same exact-count + 3σ-verdict twin pins
+    * both faces. */
+  private val HllUsersOracleSql: String =
+    """SELECT count(DISTINCT user_id) AS exact_users, true AS hll_within_bound
+      |FROM events""".stripMargin
+
   /** q08/q90 share ONE oracle string: the streamed KLL build is
     * sketch-identical to the batch build (merge monoid, compaction-free
     * at the gate k), and binding the SQL once makes that sharing
@@ -767,9 +779,12 @@ object SparkEntry {
       """SELECT lang, count(*) AS est_count
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q05_hll_users" ->
-      """SELECT count(DISTINCT user_id) AS exact_users, true AS hll_within_bound
-        |FROM events""".stripMargin,
+    "q05_hll_users" -> HllUsersOracleSql,
+
+    // q105: the STREAMED HLL build (complete-mode micro-batches) is an
+    // idempotent merge monoid ⇒ bit-identical to batch for any slicing —
+    // it binds q05's oracle string verbatim (the q78/q90/q97 discipline).
+    "q105_stream_hll" -> HllUsersOracleSql,
 
     "q06_hll_multi" ->
       """SELECT * FROM (

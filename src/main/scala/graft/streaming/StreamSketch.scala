@@ -110,4 +110,52 @@ object StreamSketch {
       .select(col("p"), kll_quantile(col("sk"), col("p")).as("quantile_value"))
       .orderBy("p")
   }
+
+  /** Progress of the most recent q105 run (test evidence only). */
+  @volatile private[graft] var lastHllRunBatches: Int = 0
+
+  /** q105: the CARDINALITY face of the streaming layer — q05's HLL
+    * distinct-user build through complete-mode micro-batches, sharing
+    * q05's oracle string verbatim; with q78 (heavy hitters) and q90
+    * (quantiles) this completes the streaming build of every mergeable
+    * tier in the library's sketch core. Same exactness argument: HLL
+    * merge is register-wise max — associative, commutative and IDEMPOTENT
+    * — so ANY slicing of the stream produces bit-identically the batch
+    * sketch (the spec varies the slicing to prove it).
+    *
+    * The exact count in the output is the batch AUDIT over the very
+    * arrival files the stream consumed (streaming cannot produce an exact
+    * distinct — that is the point of the operator): the streamed artifact
+    * is the sketch, the twin pins it inside the 3σ bound. State = ONE
+    * 16 KB register array, constant in stream length. */
+  def streamHllUsers(spark: SparkSession, sfDir: String,
+      slices: Int = Slices): DataFrame = {
+    val root = SliceReplay.freshRoot("q105")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("k"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val schema = SliceReplay.stage(spark, ev, slices, root)
+    val sketch = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in")
+      .agg(hll_sketch(col("k")).as("sk"))
+    val q = SliceReplay.startSized(spark, StatePartitions) {
+      sketch.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$root/out")
+        }
+        .start()
+    }
+    lastHllRunBatches = SliceReplay.runToCompletion(q).batches
+    val sk = spark.read.parquet(s"$root/out")
+    spark.read.schema(schema).parquet(s"$root/in")
+      .agg(countDistinct(col("k")).as("exact_users"))
+      .crossJoin(broadcast(sk))
+      .select(col("exact_users"),
+        (abs(hll_count(col("sk")).cast("double")
+          - col("exact_users").cast("double")) <=
+          greatest(lit(2.0), lit(3.0) * hll_stderr(col("sk"))
+            * col("exact_users").cast("double"))).as("hll_within_bound"))
+  }
 }

@@ -48,4 +48,23 @@ class StreamSketchSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(five === batchKll)
   }
+
+  // ---- q105: the cardinality face ----
+
+  private def batchHll = SketchQueries.hllUsers(spark, sf("sf0.001"))
+    .collect().map(_.toString).toSeq
+
+  test("q105: streamed HLL == batch q05 at sf0.001, over >=3 micro-batches") {
+    val streamed = StreamSketch.streamHllUsers(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    assert(streamed === batchHll)
+    assert(StreamSketch.lastHllRunBatches >= 3,
+      s"expected >=3 data micro-batches, got ${StreamSketch.lastHllRunBatches}")
+  }
+
+  test("q105: slice count cannot change the cardinality (HLL merge is idempotent)") {
+    val five = StreamSketch.streamHllUsers(spark, sf("sf0.001"), slices = 5)
+      .collect().map(_.toString).toSeq
+    assert(five === batchHll)
+  }
 }
