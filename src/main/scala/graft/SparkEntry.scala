@@ -321,7 +321,13 @@ object SparkEntry {
     // q105: the streamed HLL distinct build (complete-mode micro-batches;
     // idempotent monoid ⇒ any slicing == batch) — shares q05's oracle.
     "q105_stream_hll" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamSketch.streamHllUsers(s, d))
+      graft.streaming.StreamSketch.streamHllUsers(s, d)),
+    // q106: time-decayed heavy hitters — one WEIGHTED cm_topk build with
+    // power-of-two epoch weights from data-derived integer bounds.
+    "q106_decayed_topk" -> SketchQueries.decayedTopKUsers _,
+    // q107: integer PageRank over the exact near-dup graph — micro-mass
+    // rounds in truncating integral arithmetic, oracle unrolls the rounds.
+    "q107_pagerank" -> GraphQueries.pageRankNearDup _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1200,6 +1206,59 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_micro DESC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    // q106: FULL value twin — collision-free CM + trim-free heap at the
+    // verify scale make the weighted sketch census exact, so DuckDB
+    // re-derives the epoch split (same integral quarter arithmetic, both
+    // operands non-negative) and the exact weighted top-20.
+    "q106_decayed_topk" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |  FROM events),
+        |w AS (SELECT user_id,
+        |    ((epoch_us(ts) - b.mn) * 4) // (b.mx - b.mn + 1) AS quarter
+        |  FROM events CROSS JOIN b),
+        |c AS (SELECT user_id, cast(sum(CASE quarter WHEN 0 THEN 1
+        |    WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS bigint) AS decayed
+        |  FROM w GROUP BY user_id)
+        |SELECT cast(user_id AS varchar) AS user_id, decayed AS est_decayed
+        |FROM c ORDER BY decayed DESC, cast(user_id AS varchar) ASC
+        |LIMIT 20""".stripMargin,
+
+    // q107: FULL value twin — DuckDB re-derives the q18 edge set (same
+    // bigram Jaccard, J ≥ 0.05, within-source) and unrolls all three
+    // integer PageRank rounds as CTEs; // == div on the non-negative
+    // operands, so every rank is bit-exact cross-engine.
+    "q107_pagerank" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""r$k AS (SELECT e.dst AS v,
+           |  150000 + (85 * sum(p.r // deg.d)) // 100 AS r
+           |  FROM edges e JOIN r${k - 1} p ON p.v = e.src
+           |  JOIN deg ON deg.v = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigrams FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bg a JOIN bg b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE cast(floor(cast(len(list_intersect(a.bigrams, b.bigrams)) AS double) /
+        |    cast(len(a.bigrams) + len(b.bigrams)
+        |      - len(list_intersect(a.bigrams, b.bigrams)) AS double)
+        |    * 1000000.0) AS bigint) >= 50000),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT src AS v, cast(count(*) AS bigint) AS d
+        |  FROM edges GROUP BY src),
+        |r0 AS (SELECT v, cast(1000000 AS bigint) AS r FROM deg),
+        |$rounds
+        |SELECT r3.v AS doc_id, cast(r3.r AS bigint) AS rank_micro,
+        |  deg.d AS degree
+        |FROM r3 JOIN deg ON deg.v = r3.v
+        |ORDER BY rank_micro DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
 
     // q104: audit-twin — DuckDB re-derives every cube cell's count and
     // exact distinct (same integral hour derivation; both operands

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Graph analytics over data-derived edge sets — the link-analysis face of
+ * the engine next to the connected-components dedup family
+ * ([[DedupClusterQuery]]): CC says which docs form a duplicate cluster,
+ * PageRank says which nodes sit at the CENTER of the similarity mass
+ * (Page et al. 1999) — the canonical importance prior for crawl/corpus
+ * curation.
+ */
+object GraphQueries {
+
+  private val PageRankRounds = 3
+
+  /** q107: integer-domain PageRank over the exact near-dup graph (q18's
+    * J ≥ 0.05 bigram-Jaccard pairs, undirected). The whole iteration runs
+    * in micro-mass bigints — r₀ = 10⁶ per node, then
+    * r' = 150000 + (85 · Σ_in (r div d)) div 100 — so every round is
+    * truncating integral arithmetic on non-negative operands, the one
+    * domain where Spark's `div` and DuckDB's `//` agree bit-for-bit (the
+    * q94 discipline applied to link analysis); the oracle unrolls all
+    * rounds as CTEs over the SAME edge derivation.
+    *
+    * Scale shape: the classic distributed PageRank plan — edges persist
+    * once and every round is ONE join (contributions keyed by src) + ONE
+    * groupBy(dst) shuffle; per-round state is O(V) rank rows, rounds are
+    * a constant, and nothing ever collects to the driver. Degree is
+    * pre-joined into the edge frame so the per-round join count stays at
+    * one. A 100 TB corpus changes |V|/|E|, not the plan. */
+  def pageRankNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    pageRankOn(TextQueries.ngramJaccard(spark, sfDir)
+      .select(col("id_a"), col("id_b")))
+
+  /** The q107 core over any undirected pair frame (id_a, id_b) — split
+    * out for the spec's hand graphs (chain, star, triangle). */
+  private[graft] def pageRankOn(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // degree rides the edge list so each round pays exactly one join
+    val out = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var rank = deg.select(col("src").as("v"), lit(1000000L).as("r"))
+    for (_ <- 1 to PageRankRounds) {
+      rank = out.join(rank, out("src") === rank("v"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
+        .select(col("dst").as("v"), col("r"))
+    }
+    val res = rank
+      .join(deg.select(col("src").as("v"), col("d").as("degree")), "v")
+      .select(col("v").as("doc_id"), col("r").as("rank_micro"), col("degree"))
+      .orderBy(desc("rank_micro"), asc("doc_id"))
+      .limit(20)
+    res
+  }
+}

@@ -661,4 +661,41 @@ object SketchQueries {
           col("exact_union") - col("exact_b"),
           col("exact_union") + col("exact_b")).as("diff_within_bound"))
   }
+
+  // ---- q106: time-decayed heavy hitters ----
+
+  /** q106: heavy hitters under EXPONENTIAL TIME DECAY — the freshness-
+    * weighted ranking every monitoring surface actually serves (a burst
+    * this hour outranks a steady drip from last month). The stream's span
+    * splits into 4 epochs from its own data-derived bounds (the q85
+    * integer-split discipline, generalized from halves to quarters:
+    * ⌊(us−mn)·4/(mx−mn+1)⌋ is exact, non-negative integral arithmetic in
+    * both engines) and epoch i carries weight 2ⁱ — so one WEIGHTED
+    * cm_topk build (the reference kernel's (key, weight) update path,
+    * /root/reference/Simulation/CountMin.cs:33-39) IS the decayed census.
+    * Decayed counts age by halving: re-weighting a finished sketch needs
+    * no rescan because the weights are powers of two.
+    *
+    * Gate regime: ε=1e-4 keeps the CM collision-free and capacity ≥ the
+    * verify-scale keyspace keeps the heap trim-free, so the decayed
+    * estimates equal DuckDB's exact weighted census (full value oracle —
+    * the q02 argument with a non-unit weight column). */
+  def decayedTopKUsers(spark: SparkSession, sfDir: String): DataFrame =
+    decayedTopKOn(Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("k"),
+        unix_micros(col("ts").cast("timestamp")).as("us")))
+
+  /** The q106 core over any (k, us) frame — split out for the spec's
+    * decay-semantics fixtures (a fresh burst must outrank an old drip). */
+  private[graft] def decayedTopKOn(ev: DataFrame): DataFrame = {
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val weighted = ev.crossJoin(broadcast(bounds))
+      .withColumn("quarter", expr("((us - mn) * 4) div (mx - mn + 1)"))
+      .withColumn("w", expr("shiftleft(1L, cast(quarter AS int))"))
+    val sk = weighted
+      .agg(cm_topk(col("k"), col("w"), capacity = 4096, eps = 1e-4).as("sk"))
+    sk.select(explode(topk_entries(col("sk"), 20)).as("e"))
+      .select(col("e.key").as("user_id"), col("e.est").as("est_decayed"))
+      .orderBy(desc("est_decayed"), asc("user_id"))
+  }
 }

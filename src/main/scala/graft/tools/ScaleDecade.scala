@@ -68,7 +68,14 @@ object ScaleDecade {
       "q97_stream_sample",
       "q98_ams_f2",
       "q99_equidepth",
-      "q100_pricing_rollup")
+      "q100_pricing_rollup",
+      "q101_hll_set_algebra",
+      "q102_bloom_join",
+      "q103_shipping_priority",
+      "q104_cube_distinct",
+      "q105_stream_hll",
+      "q106_decayed_topk",
+      "q107_pagerank")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

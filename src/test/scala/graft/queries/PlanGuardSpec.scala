@@ -367,12 +367,12 @@ class PlanGuardSpec extends SparkTestBase {
 
   test("q102 bloom runtime filter sits below the join; never cartesian") {
     val p = plan("q102_bloom_join")
-    // the bloom probe (the broadcast one-row sketch applied to the fact
+    // the bloom probe (the broadcast-decoded filter applied to the fact
     // scan) must execute BELOW the exact equi-join — executed plans print
-    // top-down, so its line must come after the equi-join's
+    // top-down, so its Filter line must come after the equi-join's
     val joinIdx = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
       .map(p.indexOf).filter(_ >= 0).minOption.getOrElse(-1)
-    val probeIdx = p.indexOf("UDF(bf")
+    val probeIdx = p.indexOf("UDF(cast(l_orderkey")
     assert(joinIdx >= 0, p)
     assert(probeIdx > joinIdx, s"bloom probe must be under the join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
