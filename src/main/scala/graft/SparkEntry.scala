@@ -327,7 +327,13 @@ object SparkEntry {
     "q106_decayed_topk" -> SketchQueries.decayedTopKUsers _,
     // q107: integer PageRank over the exact near-dup graph — micro-mass
     // rounds in truncating integral arithmetic, oracle unrolls the rounds.
-    "q107_pagerank" -> GraphQueries.pageRankNearDup _
+    "q107_pagerank" -> GraphQueries.pageRankNearDup _,
+    // q108: the MinHash Jaccard ESTIMATOR audited against exact per-pair
+    // Jaccard — k codegen'd mins in one pass, binomial-tail verdicts.
+    "q108_minhash_estimator" -> TextQueries.minhashEstimator _,
+    // q109: per-source KLL shards merged into the global quantile — the
+    // re-aggregation serving pattern, full value oracle via quantile_disc.
+    "q109_kll_rollup" -> SketchQueries.kllShardRollup _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1259,6 +1265,46 @@ object SparkEntry {
         |FROM r3 JOIN deg ON deg.v = r3.v
         |ORDER BY rank_micro DESC, doc_id ASC LIMIT 20""".stripMargin
     },
+
+    // q108: audit-twin — the minhash signatures are xxhash64-derived (not
+    // SQL-expressible in DuckDB), so the oracle re-derives the EXACT
+    // per-pair trigram Jaccard (the q73 derivation) and asserts the
+    // estimator's binomial-tail verdict as a constant.
+    "q108_minhash_estimator" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT DISTINCT source, g
+        |  FROM toks, UNNEST(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)),
+        |sizes AS (
+        |  SELECT source, cast(count(*) AS bigint) AS n FROM sh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    cast(count(*) AS bigint) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |  cast((coalesce(i.i, 0) * 1000000) //
+        |    (sa.n + sb.n - coalesce(i.i, 0)) AS bigint) AS jaccard_micro,
+        |  true AS est_within_bound
+        |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        |LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // q109: FULL value twin — compaction-free shards + the q99-verified
+    // rank-rule identity make both the per-source medians and the
+    // merged-shard global median quantile_disc-exact.
+    "q109_kll_rollup" ->
+      """SELECT * FROM (
+        |  SELECT source, cast(quantile_disc(n_chars, 0.5) AS bigint)
+        |    AS p50_nchars
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT '<all>', cast(quantile_disc(n_chars, 0.5) AS bigint)
+        |  FROM documents)
+        |ORDER BY source""".stripMargin,
 
     // q104: audit-twin — DuckDB re-derives every cube cell's count and
     // exact distinct (same integral hour derivation; both operands

@@ -90,6 +90,32 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Merge pre-built KLL shards (binary → binary) — the re-aggregation
+    * face: per-tenant/per-partition sketches built once, any rollup served
+    * by merging finished state with no rescan (the checkpoint
+    * `mergeShards` path surfaced as a grouped SQL aggregate). */
+  final class KllMergeAggregator
+      extends Aggregator[Array[Byte], Option[KllSketch], Array[Byte]] {
+    override def zero: Option[KllSketch] = None
+    override def reduce(b: Option[KllSketch], a: Array[Byte]): Option[KllSketch] = {
+      if (a == null) b
+      else b match {
+        case None => Some(KllSketch.deserialize(a))
+        case Some(s) => Some(s.merge(KllSketch.deserialize(a)))
+      }
+    }
+    override def merge(x: Option[KllSketch], y: Option[KllSketch]): Option[KllSketch] = (x, y) match {
+      case (Some(a), Some(b)) => Some(a.merge(b))
+      case (a, None) => a
+      case (None, b) => b
+    }
+    override def finish(b: Option[KllSketch]): Array[Byte] =
+      b.map(_.serialize()).orNull
+    override def bufferEncoder: Encoder[Option[KllSketch]] =
+      Encoders.kryo[Option[KllSketch]]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   // ---- Bloom filter build
 
   final class BloomAggregator(expectedItems: Long, fpp: Double, seed: Long)

@@ -140,6 +140,11 @@ object SketchFunctions {
       Encoders.DOUBLE)
       .apply(x)
 
+  /** Merge pre-built KLL shards (shards → one), the quantile tier's
+    * re-aggregation surface next to [[cm_merge]]. */
+  def kll_merge(sketch: Column): Column =
+    functions.udaf(new KllMergeAggregator, Encoders.BINARY).apply(sketch)
+
   def tdigest_sketch(x: Column, compression: Double = 100.0): Column =
     functions.udaf(new TDigestAggregator(compression),
       Encoders.DOUBLE)

@@ -685,6 +685,36 @@ object SketchQueries {
       .select(col("user_id").cast("string").as("k"),
         unix_micros(col("ts").cast("timestamp")).as("us")))
 
+  // ---- q109: KLL shard-merge rollup (re-aggregation without rescan) ----
+
+  /** q109: the re-aggregation serving pattern for the quantile tier —
+    * per-source KLL shards built ONCE (one grouped pass), then the global
+    * quantile answered by MERGING the finished shards (`kll_merge`), never
+    * by rescanning the data. This is the shape a 100 TB deployment
+    * actually runs: build per-partition/tenant sketches at ingest, serve
+    * any rollup from KB-sized state (the SketchCheckpoint.mergeShards
+    * path surfaced as a SQL-level grouped aggregate, now gate-checked).
+    *
+    * Gate-exact: at k = 65536 every shard is compaction-free, merge
+    * concatenates the item multisets, and the KLL rank rule is
+    * quantile_disc's convention (the q99-verified identity) — so both the
+    * per-source medians and the merged global median are FULL value
+    * oracle columns, not just bound verdicts. */
+  def kllShardRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars").cast("double").as("x"))
+    // persisted: two consumers (per-source rows + the shard merge)
+    val shards = docs.groupBy(col("source"))
+      .agg(kll_sketch(col("x"), k = 65536).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perSource = shards.select(col("source"),
+      kll_quantile(col("sk"), lit(0.5)).cast("long").as("p50_nchars"))
+    val global = shards.agg(kll_merge(col("sk")).as("sk"))
+      .select(lit("<all>").as("source"),
+        kll_quantile(col("sk"), lit(0.5)).cast("long").as("p50_nchars"))
+    perSource.unionAll(global).orderBy(col("source"))
+  }
+
   /** The q106 core over any (k, us) frame — split out for the spec's
     * decay-semantics fixtures (a fresh burst must outrank an old drip). */
   private[graft] def decayedTopKOn(ev: DataFrame): DataFrame = {

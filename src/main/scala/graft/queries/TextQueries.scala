@@ -2184,4 +2184,70 @@ object TextQueries {
       .select(col("query_id"), col("rn"), col("doc_id"), col("score_micro"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  // ---- q108: the MinHash Jaccard ESTIMATOR, audited against exact ----
+
+  private[graft] val MinHashK = 128
+
+  /** q108: gate the MinHash estimator itself (Broder 1997) — q16 uses
+    * minhash only as an LSH bucketing key; this gates its QUANTITATIVE
+    * claim, Ĵ = |{i : minᵢ(A) = minᵢ(B)}| / k, against the exact
+    * per-source-pair trigram Jaccard (the q73 machinery). Each matching
+    * component is a Bernoulli(J) trial, so |Ĵ − J| ≤ 4.5·√(J(1−J)/k) +
+    * 2/k (the binomial tail at ~3·10⁻⁶ per pair plus the k-quantization
+    * slack) — the verdict the Spark side can only emit as true when the
+    * estimator genuinely lands inside the published envelope on every one
+    * of the S(S−1)/2 pairs.
+    *
+    * Plan: one distinct-shingle census keyed by the 128-bit hash (one
+    * exemplar string per shingle), ONE grouped pass computing all k mins
+    * (k codegen'd min aggregates — never k passes), then the S-row
+    * signature table self-joins broadcast. At 100 TB the signatures are
+    * the only thing that moves: k·8 bytes per source vs the shingle sets'
+    * GBs — set similarity from fixed-size state, which is the estimator's
+    * entire point. */
+  def minhashEstimator(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcSh = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(array_distinct(wordShingles3(split(col("text"), " ")))).as("g"))
+      .groupBy(col("source"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit("g2"), col("g")).as("h2"))
+      .agg(first(col("g")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigCols = (0 until MinHashK)
+      .map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+    val sigs = srcSh.groupBy(col("source"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("source"),
+        array((0 until MinHashK).map(i => col(s"m$i")): _*).as("sig"))
+    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = srcSh.select(col("source").as("source_a"), col("h1"), col("h2"))
+      .join(srcSh.select(col("source").as("source_b"), col("h1"), col("h2")),
+        Seq("h1", "h2"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("i"))
+    val exact = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        expr("coalesce(i, 0L) * 1000000 div (n_a + n_b - coalesce(i, 0L))")
+          .as("jaccard_micro"))
+    val est = exact
+      .join(broadcast(sigs.select(col("source").as("source_a"),
+        col("sig").as("sig_a"))), Seq("source_a"))
+      .join(broadcast(sigs.select(col("source").as("source_b"),
+        col("sig").as("sig_b"))), Seq("source_b"))
+      .withColumn("matches", expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)"))
+    val j = col("jaccard_micro").cast("double") / lit(1e6)
+    val bound = lit(4.5) * sqrt(j * (lit(1.0) - j) / lit(MinHashK.toDouble)) +
+      lit(2.0 / MinHashK)
+    est.select(col("source_a"), col("source_b"), col("jaccard_micro"),
+      (abs(col("matches").cast("double") / lit(MinHashK.toDouble) - j) <= bound)
+        .as("est_within_bound"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -75,7 +75,9 @@ object ScaleDecade {
       "q104_cube_distinct",
       "q105_stream_hll",
       "q106_decayed_topk",
-      "q107_pagerank")
+      "q107_pagerank",
+      "q108_minhash_estimator",
+      "q109_kll_rollup")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all
