@@ -221,9 +221,16 @@ object Bench {
           f"\":$v%.2f"
     }.mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last
-    println(s"""{"metric":"cm_build_mrows_per_sec","value":${
+    // bench_rows/cpus/gate_cycles live on the verbose line only: at 110
+    // gate keys the compact line sits ~1.7 KB and every spare field is
+    // headroom against the driver's ~2000-char stdout snapshot
+    val compact = s"""{"metric":"cm_build_mrows_per_sec","value":${
       f"${corpusStats("cm_build_mrows_per_sec")}%.2f"
-    },"unit":"Mrows/s","total_query_sec":${f"$total%.2f"},"failed":$failedJson,"bench_rows":$benchRows,"cpus":$cpus,"gate_cycles":$gateCycles,"mrows":$mrowsShort,"mrows_scan_norm":$normShort,"queries":$qsShort,"sf":"$sfShort"}""")
+    },"unit":"Mrows/s","total_query_sec":${f"$total%.2f"},"failed":$failedJson,"mrows":$mrowsShort,"mrows_scan_norm":$normShort,"queries":$qsShort,"sf":"$sfShort"}"""
+    require(compact.length <= 1800,
+      s"compact bench line ${compact.length} chars > 1800 — the driver's " +
+        "2000-char stdout snapshot would truncate it; shorten the blocks")
+    println(compact)
     spark.stop()
   }
 }

@@ -333,7 +333,13 @@ object SparkEntry {
     "q108_minhash_estimator" -> TextQueries.minhashEstimator _,
     // q109: per-source KLL shards merged into the global quantile — the
     // re-aggregation serving pattern, full value oracle via quantile_disc.
-    "q109_kll_rollup" -> SketchQueries.kllShardRollup _
+    "q109_kll_rollup" -> SketchQueries.kllShardRollup _,
+    // q110: ordered conversion funnel (view → click → purchase) with 24 h
+    // per-stage horizons — three co-partitioned keyed censuses.
+    "q110_funnel" -> AnalyticsQueries.conversionFunnel _,
+    // q111: frequent co-occurring part pairs — basket arrays + in-plan
+    // pair expansion (one shuffle), support floor, TakeOrdered top-20.
+    "q111_frequent_pairs" -> AnalyticsQueries.frequentPartPairs _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1305,6 +1311,40 @@ object SparkEntry {
         |  SELECT '<all>', cast(quantile_disc(n_chars, 0.5) AS bigint)
         |  FROM documents)
         |ORDER BY source""".stripMargin,
+
+    // q110: FULL value twin — DuckDB replays the identical three-CTE
+    // first-touch chain (same horizons, same epoch-µs arithmetic).
+    "q110_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(epoch_us(ts)) AS t2
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND epoch_us(ts) >= t1.t1
+        |    AND epoch_us(ts) <= t1.t1 + 86400000000 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(epoch_us(ts)) AS t3
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND epoch_us(ts) >= t2.t2
+        |    AND epoch_us(ts) <= t2.t2 + 86400000000 GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT cast(count(DISTINCT user_id) AS bigint) FROM events)
+        |    AS n_users,
+        |  (SELECT cast(count(*) AS bigint) FROM t1) AS n_viewed,
+        |  (SELECT cast(count(*) AS bigint) FROM t2) AS n_clicked,
+        |  (SELECT cast(count(*) AS bigint) FROM t3) AS n_purchased,
+        |  (SELECT coalesce(cast(sum(t3.t3 - t1.t1) AS bigint), 0)
+        |     FROM t3 JOIN t1 USING (user_id)) AS total_lag_us""".stripMargin,
+
+    // q111: FULL value twin — the oracle's self-join enumerates exactly
+    // the same distinct within-order pairs the basket HOF expands.
+    "q111_frequent_pairs" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey)
+        |SELECT part_a, part_b, cast(count(*) AS bigint) AS support
+        |FROM pairs GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin,
 
     // q104: audit-twin — DuckDB re-derives every cube cell's count and
     // exact distinct (same integral hour derivation; both operands

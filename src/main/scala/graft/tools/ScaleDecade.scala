@@ -77,7 +77,9 @@ object ScaleDecade {
       "q106_decayed_topk",
       "q107_pagerank",
       "q108_minhash_estimator",
-      "q109_kll_rollup")
+      "q109_kll_rollup",
+      "q110_funnel",
+      "q111_frequent_pairs")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all
