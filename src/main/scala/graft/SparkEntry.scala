@@ -339,7 +339,14 @@ object SparkEntry {
     "q110_funnel" -> AnalyticsQueries.conversionFunnel _,
     // q111: frequent co-occurring part pairs — basket arrays + in-plan
     // pair expansion (one shuffle), support floor, TakeOrdered top-20.
-    "q111_frequent_pairs" -> AnalyticsQueries.frequentPartPairs _
+    "q111_frequent_pairs" -> AnalyticsQueries.frequentPartPairs _,
+    // q112: the streamed Bloom build (complete-mode micro-batches; OR
+    // merge is an idempotent monoid) — shares q07's oracle verbatim.
+    "q112_stream_bloom" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamSketch.streamBloomOrders(s, d)),
+    // q113: RFM quartile segmentation — KLL boundaries on the verified
+    // i/8 grid feed a codegen bucketing pass; full value oracle.
+    "q113_rfm_segments" -> AnalyticsQueries.rfmSegments _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -568,6 +575,17 @@ object SparkEntry {
       |WHERE rn <= ${graft.queries.TextQueries.PmiTopK}
       |ORDER BY rnk""".stripMargin
   }
+
+  /** q07/q112 share ONE oracle string: the streamed Bloom build (bitwise
+    * OR is an idempotent merge monoid) is bit-identical to the batch
+    * filter, so the same probe census pins both faces. */
+  private val BloomOrdersOracleSql: String =
+    """SELECT
+      | (SELECT count(*) FROM orders) AS probes,
+      | (SELECT count(*) FROM orders WHERE o_custkey IN
+      |   (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)) AS bloom_positives,
+      | (SELECT count(*) FROM orders WHERE o_custkey IN
+      |   (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)) AS true_positives""".stripMargin
 
   /** q05/q105 share ONE oracle string: the streamed HLL build is
     * bit-identical to the batch build (register-max merge is an
@@ -814,13 +832,44 @@ object SparkEntry {
         | SELECT 'lineitem.l_partkey', count(DISTINCT l_partkey), true FROM lineitem
         |) ORDER BY entity""".stripMargin,
 
-    "q07_bloom_orders" ->
-      """SELECT
-        | (SELECT count(*) FROM orders) AS probes,
-        | (SELECT count(*) FROM orders WHERE o_custkey IN
-        |   (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)) AS bloom_positives,
-        | (SELECT count(*) FROM orders WHERE o_custkey IN
-        |   (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)) AS true_positives""".stripMargin,
+    "q07_bloom_orders" -> BloomOrdersOracleSql,
+
+    // q112: the STREAMED Bloom build (complete-mode micro-batches; OR
+    // merge is an idempotent monoid ⇒ bit-identical to batch for any
+    // slicing) binds q07's oracle string verbatim — the q78/q90/q105
+    // shared-oracle discipline, closing the streaming claim for every
+    // mergeable sketch tier.
+    "q112_stream_bloom" -> BloomOrdersOracleSql,
+
+    // q113: FULL value twin — quartiles sit on the q99-verified i/8
+    // rank-rule grid, so DuckDB's quantile_disc re-derives the KLL
+    // boundaries themselves, then the same micro-floored RFM census and
+    // bucketing.
+    "q113_rfm_segments" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+        |    cast(floor(value * 1000000) AS bigint) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |rfm AS (SELECT user_id, max(us) AS last_us,
+        |    cast(count(*) AS bigint) AS f, cast(sum(v) AS bigint) AS m
+        |  FROM p GROUP BY user_id),
+        |r AS (SELECT user_id,
+        |    (SELECT max(last_us) FROM rfm) - last_us AS r_us, f, m FROM rfm),
+        |b AS (SELECT
+        |  quantile_disc(r_us, 0.25) AS r25, quantile_disc(r_us, 0.5) AS r50,
+        |  quantile_disc(r_us, 0.75) AS r75,
+        |  quantile_disc(f, 0.25) AS f25, quantile_disc(f, 0.5) AS f50,
+        |  quantile_disc(f, 0.75) AS f75,
+        |  quantile_disc(m, 0.25) AS m25, quantile_disc(m, 0.5) AS m50,
+        |  quantile_disc(m, 0.75) AS m75 FROM r)
+        |SELECT
+        |  cast(1 + (r_us > b.r25)::int + (r_us > b.r50)::int
+        |    + (r_us > b.r75)::int AS bigint) AS rb,
+        |  cast(1 + (f > b.f25)::int + (f > b.f50)::int
+        |    + (f > b.f75)::int AS bigint) AS fb,
+        |  cast(1 + (m > b.m25)::int + (m > b.m50)::int
+        |    + (m > b.m75)::int AS bigint) AS mb,
+        |  cast(count(*) AS bigint) AS n_users
+        |FROM r CROSS JOIN b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q08_kll_price" -> KllPriceOracleSql,
 

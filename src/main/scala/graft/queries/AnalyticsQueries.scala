@@ -75,4 +75,56 @@ object AnalyticsQueries {
       .orderBy(desc("support"), asc("part_a"), asc("part_b"))
       .limit(20)
   }
+
+  // ---- q113: RFM quartile segmentation ----
+
+  /** q113: RFM customer segmentation (Hughes' recency/frequency/monetary
+    * scoring) — per-user purchase census, each axis bucketed into
+    * QUARTILES whose boundaries come from ONE KLL aggregate over the
+    * three axes: the sketch layer feeding a classic analytics operator.
+    * Quartiles sit exactly on the q99-verified i/8 rank-rule grid, so at
+    * the gate k the boundaries ARE `quantile_disc`'s — the whole 4³-cell
+    * census is a full value oracle, not a bound verdict. Monetary sums
+    * are micro-floored at the row (the q100 discipline); recency derives
+    * from the corpus's own max purchase time, all epoch-µs bigints.
+    *
+    * Scale shape: one keyed census shuffle (the per-user RFM frame,
+    * persisted for its two consumers), one O(sketch)-state aggregate, a
+    * 9-value driver collect, then one codegen bucketing pass into a
+    * ≤64-group census. No window, no sort, no join on the data path —
+    * at production k the buckets degrade gracefully under the 2/k rank
+    * bound (q64's audited envelope). */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.agg.SketchFunctions.kll_sketch
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === lit("purchase"))
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        floor(col("value") * lit(1000000L)).cast("long").as("v"))
+    val rfm = p.groupBy(col("user_id"))
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("f"),
+        sum(col("v")).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = rfm.agg(max(col("last_us"))).head().getLong(0)
+    val r = rfm.select((lit(mx) - col("last_us")).as("r_us"), col("f"), col("m"))
+    val skRow = r.agg(
+      kll_sketch(col("r_us").cast("double"), k = 65536).as("skr"),
+      kll_sketch(col("f").cast("double"), k = 65536).as("skf"),
+      kll_sketch(col("m").cast("double"), k = 65536).as("skm")).head()
+    def quartiles(name: String): Seq[Long] = {
+      val sk = graft.sketch.KllSketch.deserialize(skRow.getAs[Array[Byte]](name))
+      Seq(0.25, 0.5, 0.75).map(q => sk.quantile(q).toLong)
+    }
+    def bucket(x: org.apache.spark.sql.Column, bs: Seq[Long]) =
+      bs.foldLeft(lit(1L)) { (acc, b) =>
+        acc + when(x > lit(b), 1L).otherwise(0L)
+      }
+    r.select(
+      bucket(col("r_us"), quartiles("skr")).as("rb"),
+      bucket(col("f"), quartiles("skf")).as("fb"),
+      bucket(col("m"), quartiles("skm")).as("mb"))
+      .groupBy(col("rb"), col("fb"), col("mb"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("rb"), col("fb"), col("mb"))
+  }
 }

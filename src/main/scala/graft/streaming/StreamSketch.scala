@@ -158,4 +158,54 @@ object StreamSketch {
           greatest(lit(2.0), lit(3.0) * hll_stderr(col("sk"))
             * col("exact_users").cast("double"))).as("hll_within_bound"))
   }
+
+  /** Progress of the most recent q112 run (test evidence only). */
+  @volatile private[graft] var lastBloomRunBatches: Int = 0
+
+  /** q112: the MEMBERSHIP face of the streaming layer — q07's Bloom build
+    * through complete-mode micro-batches, sharing q07's oracle string
+    * verbatim. Bloom merge is bitwise OR — associative, commutative and
+    * IDEMPOTENT — so any slicing of the member stream produces
+    * bit-identically the batch filter; the probe side (every order
+    * against the finished filter) runs batch, exactly q07's split. With
+    * q78 (CM), q90 (KLL) and q105 (HLL) this closes the claim: EVERY
+    * mergeable sketch tier in the library builds correctly under
+    * Structured Streaming, each pinned by a shared batch oracle. State =
+    * ONE bit array, constant in stream length. */
+  def streamBloomOrders(spark: SparkSession, sfDir: String,
+      slices: Int = Slices): DataFrame = {
+    val root = SliceReplay.freshRoot("q112")
+    val members = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").cast("string").as("k"),
+        col("c_custkey").cast("long").as("tus"))
+    val schema = SliceReplay.stage(spark, members, slices, root)
+    val sketch = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in")
+      .agg(bloom_sketch(col("k"), expectedItems = 100000, fpp = 1e-9).as("sk"))
+    val q = SliceReplay.startSized(spark, StatePartitions) {
+      sketch.writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(s"$root/out")
+        }
+        .start()
+    }
+    lastBloomRunBatches = SliceReplay.runToCompletion(q).batches
+    val sk = spark.read.parquet(s"$root/out")
+    val ord = Tables.orders(spark, sfDir)
+    val probed = ord.crossJoin(broadcast(sk))
+      .select(col("o_custkey"),
+        bloom_contains(col("sk"), col("o_custkey").cast("string")).as("hit"))
+    val trueMembers = ord.join(
+      spark.read.schema(schema).parquet(s"$root/in")
+        .select(col("k").as("ck")).distinct(),
+      col("o_custkey").cast("string") === col("ck"), "left_semi")
+    probed.agg(
+      count(lit(1)).as("probes"),
+      sum(when(col("hit"), 1L).otherwise(0L)).as("bloom_positives"))
+      .crossJoin(trueMembers.agg(count(lit(1)).as("true_positives")))
+      .select(col("probes"), col("bloom_positives"), col("true_positives"))
+  }
 }

@@ -79,7 +79,9 @@ object ScaleDecade {
       "q108_minhash_estimator",
       "q109_kll_rollup",
       "q110_funnel",
-      "q111_frequent_pairs")
+      "q111_frequent_pairs",
+      "q112_stream_bloom",
+      "q113_rfm_segments")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

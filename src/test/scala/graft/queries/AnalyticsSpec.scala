@@ -64,4 +64,34 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got === ref)
     spark.catalog.clearCache()
   }
+
+  test("q113: gate equals the JVM rank-rule RFM reference at sf0.001") {
+    val dir = sf("sf0.001")
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")),
+        floor(col("value") * lit(1000000L)).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val rfm = p.groupBy(_._1).map { case (_, rs) =>
+      (rs.map(_._2).max, rs.size.toLong, rs.map(_._3).sum)
+    }.toSeq
+    val mx = rfm.map(_._1).max
+    val axes = Seq(rfm.map(r => mx - r._1), rfm.map(_._2), rfm.map(_._3))
+    def q(xs: Seq[Long], p: Double): Long = {
+      val s = xs.sorted
+      s(math.max(1, math.ceil(p * s.length).toInt) - 1)
+    }
+    val bs = axes.map(xs => Seq(0.25, 0.5, 0.75).map(q(xs, _)))
+    def bucket(x: Long, b: Seq[Long]): Long = 1L + b.count(x > _)
+    val ref = rfm.map { case (lu, f, m) =>
+      (bucket(mx - lu, bs(0)), bucket(f, bs(1)), bucket(m, bs(2)))
+    }.groupBy(identity).map { case (k, vs) => (k._1, k._2, k._3, vs.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2, t._3))
+    val got = AnalyticsQueries.rfmSegments(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === ref)
+    // every user lands in exactly one cell
+    assert(got.map(_._4).sum === rfm.size.toLong)
+    spark.catalog.clearCache()
+  }
 }

@@ -67,4 +67,23 @@ class StreamSketchSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(five === batchHll)
   }
+
+  // ---- q112: the membership face ----
+
+  private def batchBloom = SketchQueries.bloomOrders(spark, sf("sf0.001"))
+    .collect().map(_.toString).toSeq
+
+  test("q112: streamed Bloom == batch q07 at sf0.001, over >=3 micro-batches") {
+    val streamed = StreamSketch.streamBloomOrders(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    assert(streamed === batchBloom)
+    assert(StreamSketch.lastBloomRunBatches >= 3,
+      s"expected >=3 data micro-batches, got ${StreamSketch.lastBloomRunBatches}")
+  }
+
+  test("q112: slice count cannot change the filter (Bloom OR-merge is idempotent)") {
+    val five = StreamSketch.streamBloomOrders(spark, sf("sf0.001"), slices = 5)
+      .collect().map(_.toString).toSeq
+    assert(five === batchBloom)
+  }
 }
