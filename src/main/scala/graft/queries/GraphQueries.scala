@@ -40,7 +40,11 @@ object GraphQueries {
   private[graft] def pageRankOn(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // persisted: deg seeds r0 AND joins the final output — without the
+    // persist each reference replays the whole upstream pair derivation
+    // (measured 3x the q18 stage inside one gate call)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // degree rides the edge list so each round pays exactly one join
     val out = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("d"))
