@@ -346,7 +346,10 @@ object SparkEntry {
       graft.streaming.StreamSketch.streamBloomOrders(s, d)),
     // q113: RFM quartile segmentation — KLL boundaries on the verified
     // i/8 grid feed a codegen bucketing pass; full value oracle.
-    "q113_rfm_segments" -> AnalyticsQueries.rfmSegments _
+    "q113_rfm_segments" -> AnalyticsQueries.rfmSegments _,
+    // q114: Z-order layout + zone-map pruning census — Morton interleave
+    // in pure integral arithmetic; z scans 2-8x fewer rows per probe.
+    "q114_zorder" -> OlapQueries.zOrderLayout _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1394,6 +1397,36 @@ object SparkEntry {
         |FROM pairs GROUP BY 1, 2
         |HAVING count(*) >= 2
         |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // q114: FULL value twin — the Morton interleave is shared integral
+    // arithmetic (ZInterleaveSql with div → //), so DuckDB re-derives the
+    // quantization, both layouts' zone maps and every scanned-rows sum.
+    "q114_zorder" -> {
+      val zExpr = graft.queries.OlapQueries.ZInterleaveSql
+        .replace(" div ", " // ")
+      val boxes = graft.queries.OlapQueries.ZProbeBoxes.zipWithIndex
+        .map { case ((x, y), i) => s"SELECT $i AS qid, $x AS x0, $y AS y0" }
+        .mkString(" UNION ALL ")
+      s"""WITH b0 AS (SELECT max(l_partkey) + 1 AS npart,
+        |    max(l_suppkey) + 1 AS nsupp FROM lineitem),
+        |d AS (SELECT (l_partkey * 256) // npart AS px,
+        |    (l_suppkey * 256) // nsupp AS sy FROM lineitem CROSS JOIN b0),
+        |z AS (SELECT px, sy, ($zExpr) // 1024 AS zb, px // 4 AS rb FROM d),
+        |zm AS (SELECT zb AS bucket, count(*) AS n, min(px) mnx, max(px) mxx,
+        |    min(sy) mny, max(sy) mxy FROM z GROUP BY 1),
+        |rm AS (SELECT rb AS bucket, count(*) AS n, min(px) mnx, max(px) mxx,
+        |    min(sy) mny, max(sy) mxy FROM z GROUP BY 1),
+        |qb AS ($boxes),
+        |sz AS (SELECT qid, cast(sum(n) AS bigint) AS z_scanned
+        |  FROM qb JOIN zm ON mxx >= x0 AND mnx <= x0 + 31
+        |    AND mxy >= y0 AND mny <= y0 + 31 GROUP BY qid),
+        |sr AS (SELECT qid, cast(sum(n) AS bigint) AS row_scanned
+        |  FROM qb JOIN rm ON mxx >= x0 AND mnx <= x0 + 31
+        |    AND mxy >= y0 AND mny <= y0 + 31 GROUP BY qid)
+        |SELECT cast(qid AS bigint) AS qid, z_scanned, row_scanned,
+        |  z_scanned <= row_scanned AS prune_ok
+        |FROM sz JOIN sr USING (qid) ORDER BY qid""".stripMargin
+    },
 
     // q104: audit-twin — DuckDB re-derives every cube cell's count and
     // exact distinct (same integral hour derivation; both operands

@@ -81,7 +81,8 @@ object ScaleDecade {
       "q110_funnel",
       "q111_frequent_pairs",
       "q112_stream_bloom",
-      "q113_rfm_segments")
+      "q113_rfm_segments",
+      "q114_zorder")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

@@ -154,4 +154,51 @@ class OlapSpec extends SparkTestBase {
     assert(grand.getLong(3) === rows.map(_._3).distinct.length.toLong)
     spark.catalog.clearCache()
   }
+
+  /** JVM Morton reference: interleave the low 8 bits of x (even positions)
+    * and y (odd positions). */
+  private def morton(x: Long, y: Long): Long =
+    (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) |
+      (((y >> i) & 1L) << (2 * i + 1))).sum
+
+  test("q114: the arithmetic interleave equals the JVM bit interleave on the full grid") {
+    val zSql = OlapQueries.ZInterleaveSql
+    val grid = spark.range(0, 65536)
+      .selectExpr("id % 256 AS px", "id div 256 AS sy")
+      .selectExpr("px", "sy", s"($zSql) AS zv")
+      .collect()
+    grid.foreach { r =>
+      assert(r.getLong(2) === morton(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q114: gate equals the JVM zone-map replay at sf0.001 and z prunes better on every probe") {
+    val dir = sf("sf0.001")
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").cast("long"), col("l_suppkey").cast("long"))
+      .as[(Long, Long)].collect()
+    val npart = rows.map(_._1).max + 1
+    val nsupp = rows.map(_._2).max + 1
+    val pts = rows.map { case (p, s) => (p * 256 / npart, s * 256 / nsupp) }
+    def zones(key: ((Long, Long)) => Long) =
+      pts.groupBy(key).map { case (_, ps) =>
+        (ps.length.toLong, ps.map(_._1).min, ps.map(_._1).max,
+          ps.map(_._2).min, ps.map(_._2).max)
+      }
+    val zm = zones { case (px, sy) => morton(px, sy) / 1024 }
+    val rm = zones { case (px, _) => px / 4 }
+    def scanned(zs: Iterable[(Long, Long, Long, Long, Long)], x0: Long, y0: Long) =
+      zs.collect { case (n, mnx, mxx, mny, mxy)
+        if mxx >= x0 && mnx <= x0 + 31 && mxy >= y0 && mny <= y0 + 31 => n }.sum
+    val ref = OlapQueries.ZProbeBoxes.zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, scanned(zm, x, y), scanned(rm, x, y))
+    }
+    val got = OlapQueries.zOrderLayout(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) === ref)
+    got.foreach(t => assert(t._4, s"probe ${t._1} must prune at least as well"))
+    spark.catalog.clearCache()
+  }
 }
