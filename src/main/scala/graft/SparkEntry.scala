@@ -349,7 +349,10 @@ object SparkEntry {
     "q113_rfm_segments" -> AnalyticsQueries.rfmSegments _,
     // q114: Z-order layout + zone-map pruning census — Morton interleave
     // in pure integral arithmetic; z scans 2-8x fewer rows per probe.
-    "q114_zorder" -> OlapQueries.zOrderLayout _
+    "q114_zorder" -> OlapQueries.zOrderLayout _,
+    // q115: sliding-window distinct users from tumbling HLL shards —
+    // the fan-out rides KB sketches (hll_merge), never rows; 3σ audits.
+    "q115_sliding_distinct" -> SketchQueries.slidingDistinctUsers _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1427,6 +1430,22 @@ object SparkEntry {
         |  z_scanned <= row_scanned AS prune_ok
         |FROM sz JOIN sr USING (qid) ORDER BY qid""".stripMargin
     },
+
+    // q115: audit-twin — DuckDB re-derives the shard index, the sliding
+    // expansion, the full-window filter and every exact distinct; the
+    // merged-shard estimates are asserted through the 3σ verdicts.
+    "q115_sliding_distinct" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 21600000000 AS b FROM events),
+        |bounds AS (SELECT min(b) AS mnb, max(b) AS mxb FROM e),
+        |w AS (SELECT user_id, b - j AS w FROM e CROSS JOIN range(4) t(j)),
+        |full_w AS (SELECT w.w,
+        |    cast(count(DISTINCT user_id) AS bigint) AS exact_users
+        |  FROM w CROSS JOIN bounds
+        |  WHERE w.w >= bounds.mnb AND w.w + 3 <= bounds.mxb
+        |  GROUP BY w.w)
+        |SELECT w AS window_id, exact_users, true AS within_bound
+        |FROM full_w ORDER BY window_id""".stripMargin,
 
     // q104: audit-twin — DuckDB re-derives every cube cell's count and
     // exact distinct (same integral hour derivation; both operands

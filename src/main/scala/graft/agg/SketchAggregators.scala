@@ -116,6 +116,32 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Merge pre-built HLL shards (binary → binary) — the cardinality
+    * tier's re-aggregation face beside [[KllMergeAggregator]]: register-max
+    * is idempotent, so overlapping shard sets (sliding windows, rollups)
+    * merge without double-counting and without rescanning rows. */
+  final class HllMergeAggregator
+      extends Aggregator[Array[Byte], Option[HyperLogLog], Array[Byte]] {
+    override def zero: Option[HyperLogLog] = None
+    override def reduce(b: Option[HyperLogLog], a: Array[Byte]): Option[HyperLogLog] = {
+      if (a == null) b
+      else b match {
+        case None => Some(HyperLogLog.deserialize(a))
+        case Some(s) => Some(s.merge(HyperLogLog.deserialize(a)))
+      }
+    }
+    override def merge(x: Option[HyperLogLog], y: Option[HyperLogLog]): Option[HyperLogLog] = (x, y) match {
+      case (Some(a), Some(b)) => Some(a.merge(b))
+      case (a, None) => a
+      case (None, b) => b
+    }
+    override def finish(b: Option[HyperLogLog]): Array[Byte] =
+      b.map(_.serialize()).orNull
+    override def bufferEncoder: Encoder[Option[HyperLogLog]] =
+      Encoders.kryo[Option[HyperLogLog]]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   // ---- Bloom filter build
 
   final class BloomAggregator(expectedItems: Long, fpp: Double, seed: Long)

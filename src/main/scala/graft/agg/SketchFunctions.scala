@@ -145,6 +145,11 @@ object SketchFunctions {
   def kll_merge(sketch: Column): Column =
     functions.udaf(new KllMergeAggregator, Encoders.BINARY).apply(sketch)
 
+  /** Merge pre-built HLL shards (shards → one) — idempotent register max,
+    * so overlapping shard sets never double-count. */
+  def hll_merge(sketch: Column): Column =
+    functions.udaf(new HllMergeAggregator, Encoders.BINARY).apply(sketch)
+
   def tdigest_sketch(x: Column, compression: Double = 100.0): Column =
     functions.udaf(new TDigestAggregator(compression),
       Encoders.DOUBLE)

@@ -715,6 +715,49 @@ object SketchQueries {
     perSource.unionAll(global).orderBy(col("source"))
   }
 
+  // ---- q115: sliding-window distinct from tumbling shards ----
+
+  /** q115's shard width (6 h in µs); a window = 4 shards = 24 h. */
+  private val SlideShardUs = 21600000000L
+
+  /** q115: the time-windowed cardinality service — distinct users per
+    * SLIDING 24 h window (every 6 h), served by merging tumbling 6 h HLL
+    * shards (`hll_merge`): each event updates exactly ONE shard; the 4×
+    * sliding fan-out happens on KB-sized finished sketches, never on
+    * rows. Register-max idempotence is what makes overlapping windows
+    * correct by construction (no double-count), and the same shards serve
+    * ANY window multiple of the shard width — the dashboard pattern at
+    * 100 TB, where re-scanning a day of rows per refresh is not an
+    * option. Edge windows with missing shards are excluded so the
+    * contract is total over full windows only.
+    *
+    * Gate contract = the q05/q104 audit twin: per-window exact distincts
+    * (the expanded exact census — gate-side audit, not the production
+    * path) with the 3σ verdict per window. */
+  def slidingDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("user_id").cast("string").as("u"),
+      expr(s"unix_micros(cast(ts AS timestamp)) div $SlideShardUs").as("b"))
+    val bounds = ev.agg(min(col("b")).as("mnb"), max(col("b")).as("mxb"))
+    val shards = ev.groupBy(col("b")).agg(hll_sketch(col("u")).as("sk"))
+    def toWindows(df: DataFrame) = df
+      .select(df.columns.map(col) :+
+        explode(sequence(col("b") - 3, col("b"))).as("w"): _*)
+      .crossJoin(broadcast(bounds))
+      .filter(col("w") >= col("mnb") && col("w") + lit(3) <= col("mxb"))
+    val est = toWindows(shards)
+      .groupBy(col("w")).agg(hll_merge(col("sk")).as("sk"))
+    val exact = toWindows(ev)
+      .groupBy(col("w")).agg(countDistinct(col("u")).as("exact_users"))
+    est.join(exact, "w")
+      .select(col("w").as("window_id"), col("exact_users"),
+        (abs(hll_count(col("sk")).cast("double")
+          - col("exact_users").cast("double")) <=
+          greatest(lit(2.0), lit(3.0 * HllP14Sigma)
+            * col("exact_users").cast("double"))).as("within_bound"))
+      .orderBy(col("window_id"))
+  }
+
   /** The q106 core over any (k, us) frame — split out for the spec's
     * decay-semantics fixtures (a fresh burst must outrank an old drip). */
   private[graft] def decayedTopKOn(ev: DataFrame): DataFrame = {

@@ -82,7 +82,8 @@ object ScaleDecade {
       "q111_frequent_pairs",
       "q112_stream_bloom",
       "q113_rfm_segments",
-      "q114_zorder")
+      "q114_zorder",
+      "q115_sliding_distinct")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

@@ -52,6 +52,25 @@ class SetAlgebraSpec extends SparkTestBase {
     }
   }
 
+  test("q115: sliding-window exacts equal the JVM reference and all verdicts hold at sf0.001") {
+    val cols = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id").cast("string"),
+        expr("unix_micros(cast(ts AS timestamp)) div 21600000000"))
+      .as[(String, Long)].collect()
+    val mnb = cols.map(_._2).min
+    val mxb = cols.map(_._2).max
+    val ref = cols.flatMap { case (u, b) => (0 until 4).map(j => (b - j, u)) }
+      .filter { case (w, _) => w >= mnb && w + 3 <= mxb }
+      .groupBy(_._1).map { case (w, us) => w -> us.map(_._2).distinct.size.toLong }
+    val got = SketchQueries.slidingDistinctUsers(spark, sf("sf0.001")).collect()
+    assert(got.length === ref.size)
+    got.foreach { r =>
+      assert(r.getLong(1) === ref(r.getLong(0)), s"window ${r.getLong(0)}")
+      assert(r.getBoolean(2), s"verdict failed for window ${r.getLong(0)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("hll_union column function == kernel merge, bit-exact; null-safe") {
     val df = (0 until 20000)
       .map(i => (s"x$i", i % 2 == 0)).toDF("k", "left_side")
