@@ -352,7 +352,10 @@ object SparkEntry {
     "q114_zorder" -> OlapQueries.zOrderLayout _,
     // q115: sliding-window distinct users from tumbling HLL shards —
     // the fan-out rides KB sketches (hll_merge), never rows; 3σ audits.
-    "q115_sliding_distinct" -> SketchQueries.slidingDistinctUsers _
+    "q115_sliding_distinct" -> SketchQueries.slidingDistinctUsers _,
+    // q116: TPC-H Q5 — six-table snowflake join, broadcast filtered
+    // dims, local-supplier predicate, micro-floored revenue.
+    "q116_local_supplier" -> OlapQueries.localSupplierVolume _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1430,6 +1433,24 @@ object SparkEntry {
         |  z_scanned <= row_scanned AS prune_ok
         |FROM sz JOIN sr USING (qid) ORDER BY qid""".stripMargin
     },
+
+    // q116: FULL value twin — same six-table join, date window and
+    // micro-floored revenue terms.
+    "q116_local_supplier" ->
+      """SELECT n_name,
+        |  cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 1000000)
+        |    AS bigint)) AS bigint) AS revenue_micro,
+        |  cast(count(*) AS bigint) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |    AND s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND epoch_us(o_orderdate) >= 820454400000000
+        |  AND epoch_us(o_orderdate) < 852076800000000
+        |GROUP BY 1 ORDER BY revenue_micro DESC, n_name""".stripMargin,
 
     // q115: audit-twin — DuckDB re-derives the shard index, the sliding
     // expansion, the full-window filter and every exact distinct; the

@@ -123,8 +123,29 @@ object SyntheticScale {
         col("id").as("c_custkey"),
         element_at(segs,
           (pmod(xxhash64(col("id"), lit(35)), lit(5)) + 1).cast("int"))
-          .as("c_mktsegment"))
+          .as("c_mktsegment"),
+        pmod(xxhash64(col("id"), lit(37)), lit(25)).as("c_nationkey"))
   }
+
+  /** region/nation/supplier: the snowflake dimensions q116 walks — fixed
+    * size like [[customer]] (dims don't decade with facts); supplier
+    * covers lineitem's whole l_suppkey domain. */
+  def region(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((0L, "AFRICA"), (1L, "AMERICA"), (2L, "ASIA"), (3L, "EUROPE"),
+      (4L, "MIDDLE EAST")).toDF("r_regionkey", "r_name")
+  }
+
+  def nation(spark: SparkSession): DataFrame =
+    spark.range(0L, 25L)
+      .select(col("id").as("n_nationkey"),
+        concat(lit("NATION_"), col("id")).as("n_name"),
+        (col("id") % 5).as("n_regionkey"))
+
+  def supplier(spark: SparkSession, parts: Int): DataFrame =
+    spark.range(0L, 10000L, 1L, parts)
+      .select(col("id").as("s_suppkey"),
+        pmod(xxhash64(col("id"), lit(38)), lit(25)).as("s_nationkey"))
 
   /** lineitem: the columns q63/q90/q100 consume. ~4 lines per order; the
     * TPC-H detail columns (quantity/discount/tax/flags/shipdate) follow
@@ -191,6 +212,9 @@ object SyntheticScale {
       "embeddings" -> (() => embeddings(spark, 2000L * scale, parts)),
       "orders" -> (() => orders(spark, 150000L * scale, parts)),
       "customer" -> (() => customer(spark, parts)),
+      "region" -> (() => region(spark)),
+      "nation" -> (() => nation(spark)),
+      "supplier" -> (() => supplier(spark, parts)),
       "lineitem" -> (() => lineitem(spark, 600000L * scale, parts)),
       "events" -> (() => events(spark, 100000L * scale, 1500L * scale, parts)))
     tables.foreach { case (name, build) =>

@@ -244,4 +244,52 @@ object OlapQueries {
         (col("z_scanned") <= col("row_scanned")).as("prune_ok"))
       .orderBy(col("qid"))
   }
+
+  // ---- q116: TPC-H Q5 (local-supplier volume) ----
+
+  /** 1996-01-01 / 1997-01-01 UTC as epoch µs — Q5's one-year window. */
+  private val Q5FromUs = 820454400000000L
+  private val Q5ToUs = 852076800000000L
+
+  /** q116: TPC-H Q5 — the canon's deepest join tree (six tables): revenue
+    * per ASIA nation from lineitems whose SUPPLIER sits in the customer's
+    * own nation, over one order year. The snowflake dimensions
+    * (region→nation, nation-filtered supplier) broadcast after their
+    * filters; orders carries the pushed date range; the only shuffles
+    * left are the two fact-side equi-joins (orders⋈lineitem on orderkey,
+    * customers on custkey) — the plan a 100 TB star schema actually
+    * wants, with AQE free to re-plan the fact joins. The local-supplier
+    * predicate (c_nation = s_nation) lands as a filter on the joined
+    * frame, revenue micro-floors at the row (the q100 discipline). */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables(spark, sfDir, "nation")
+      .join(broadcast(Tables(spark, sfDir, "region")
+          .filter(col("r_name") === lit("ASIA"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey").as("c_nation"),
+        col("n_name"))
+    val supp = Tables(spark, sfDir, "supplier")
+      .join(broadcast(nat.select(col("n_nationkey").as("sn"))),
+        col("s_nationkey") === col("sn"))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(unix_micros(col("o_orderdate").cast("timestamp")) >= lit(Q5FromUs) &&
+        unix_micros(col("o_orderdate").cast("timestamp")) < lit(Q5ToUs))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(1000000L)).cast("long").as("rev_micro"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nation") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_micro")).as("revenue_micro"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue_micro"), asc("n_name"))
+  }
 }

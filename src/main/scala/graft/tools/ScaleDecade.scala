@@ -83,7 +83,8 @@ object ScaleDecade {
       "q112_stream_bloom",
       "q113_rfm_segments",
       "q114_zorder",
-      "q115_sliding_distinct")
+      "q115_sliding_distinct",
+      "q116_local_supplier")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

@@ -201,4 +201,53 @@ class OlapSpec extends SparkTestBase {
     got.foreach(t => assert(t._4, s"probe ${t._1} must prune at least as well"))
     spark.catalog.clearCache()
   }
+
+  test("q116: gate equals the JVM six-table replay at sf0.001") {
+    val dir = sf("sf0.001")
+    val asia = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+      .select(col("r_regionkey").cast("long")).as[Long].collect().toSet
+    val nations = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .as[(Long, String, Long)].collect()
+      .filter(n => asia(n._3)).map(n => n._1 -> n._2).toMap
+    val custN = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .as[(Long, Long)].collect()
+      .filter(c => nations.contains(c._2)).toMap
+    val suppN = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+      .as[(Long, Long)].collect()
+      .filter(s => nations.contains(s._2)).toMap
+    val ordC = Tables.orders(spark, dir)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        unix_micros(col("o_orderdate").cast("timestamp")))
+      .as[(Long, Long, Long)].collect()
+      .filter(o => o._3 >= 820454400000000L && o._3 < 852076800000000L)
+      .map(o => o._1 -> o._2).toMap
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long"),
+        col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Long, Double, Double)].collect()
+      .foreach { case (ok, sk, px, dc) =>
+        for {
+          ck <- ordC.get(ok)
+          cn <- custN.get(ck)
+          sn <- suppN.get(sk)
+          if cn == sn
+        } {
+          val name = nations(cn)
+          val (r, c) = agg.getOrElse(name, (0L, 0L))
+          agg(name) = (r + math.floor(px * (1 - dc) * 1e6).toLong, c + 1)
+        }
+      }
+    val ref = agg.toSeq.map { case (n, (r, c)) => (n, r, c) }
+      .sortBy { case (n, r, _) => (-r, n) }
+    val got = OlapQueries.localSupplierVolume(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === ref)
+    assert(got.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
