@@ -355,7 +355,10 @@ object SparkEntry {
     "q115_sliding_distinct" -> SketchQueries.slidingDistinctUsers _,
     // q116: TPC-H Q5 — six-table snowflake join, broadcast filtered
     // dims, local-supplier predicate, micro-floored revenue.
-    "q116_local_supplier" -> OlapQueries.localSupplierVolume _
+    "q116_local_supplier" -> OlapQueries.localSupplierVolume _,
+    // q117: bucketed co-located join — pay the layout once, join without
+    // a shuffle (exchange-free plan pinned in BucketingSpec).
+    "q117_bucketed_join" -> OlapQueries.bucketedJoinRevenue _
   )
 
   /** DuckDB oracle twins. q17/q23/q26/q39/q56 run non-SQL-expressible
@@ -1451,6 +1454,16 @@ object SparkEntry {
         |  AND epoch_us(o_orderdate) >= 820454400000000
         |  AND epoch_us(o_orderdate) < 852076800000000
         |GROUP BY 1 ORDER BY revenue_micro DESC, n_name""".stripMargin,
+
+    // q117: FULL value twin — the bucketed path changes the PLAN (no
+    // exchange below the join), never the values; the oracle is the
+    // plain join.
+    "q117_bucketed_join" ->
+      """SELECT o_orderstatus, cast(count(*) AS bigint) AS n_lines,
+        |  cast(sum(cast(floor(l_quantity * 1000000) AS bigint)) AS bigint)
+        |    AS qty_micro
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q115: audit-twin — DuckDB re-derives the shard index, the sliding
     // expansion, the full-window filter and every exact distinct; the

@@ -84,7 +84,8 @@ object ScaleDecade {
       "q113_rfm_segments",
       "q114_zorder",
       "q115_sliding_distinct",
-      "q116_local_supplier")
+      "q116_local_supplier",
+      "q117_bucketed_join")
     sys.env.get("SPARK_GRAFT_DECADE_QUERIES") match {
       case Some(qs) => all.filter(qs.split(',').map(_.trim).toSet)
       case None => all

@@ -34,6 +34,25 @@ class BucketingSpec extends SparkTestBase {
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q117: bucketed gate values equal the plain join, and a rerun overwrites cleanly") {
+    val dir = sf("sf0.001")
+    val plain = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        floor(col("l_quantity") * lit(1000000L)).cast("long").as("q"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+      .orderBy(col("o_orderstatus")).collect().map(_.toSeq).toSeq
+    val got = OlapQueries.bucketedJoinRevenue(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got === plain)
+    // rerun must overwrite the tables without a location flake
+    val again = OlapQueries.bucketedJoinRevenue(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(again === plain)
+    spark.catalog.clearCache()
+  }
+
   test("partitioned parquet scan prunes partitions for a lang filter") {
     val dir = Files.createTempDirectory("part").toString + "/docs"
     Tables.documents(spark, sf("sf0.001"))
