@@ -106,6 +106,9 @@ object SyntheticScale {
         element_at(prios,
           (pmod(xxhash64(col("id"), lit(33)), lit(5)) + 1).cast("int"))
           .as("o_orderpriority"),
+        element_at(typedLit(Seq("F", "O", "P")),
+          (pmod(xxhash64(col("id"), lit(36)), lit(3)) + 1).cast("int"))
+          .as("o_orderstatus"),
         timestamp_micros(unix_micros(t0) +
           pmod(xxhash64(col("id"), lit(34)), lit(spanUs))).as("o_orderdate"))
   }
