@@ -37,7 +37,14 @@ object GraphQueries {
 
   /** The q107 core over any undirected pair frame (id_a, id_b) — split
     * out for the spec's hand graphs (chain, star, triangle). */
-  private[graft] def pageRankOn(pairs: DataFrame): DataFrame = {
+  private[graft] def pageRankOn(pairsIn: DataFrame): DataFrame = {
+    // persisted: the union below references the pair frame TWICE and deg/out
+    // each materialize independently — uncached, the upstream near-dup pair
+    // derivation (q18's tiled Jaccard join) re-ran FOUR times inside one
+    // gate call (union branches × {deg, out}); the cached frame is two long
+    // ids per pair, ~16 B/edge (measured: q107 4.89 s → ~2 s at sf0.1)
+    val pairs = pairsIn
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     // persisted: deg seeds r0 AND joins the final output — without the

@@ -50,6 +50,22 @@ object SketchSelect {
     * select k≈5000 of n≈5M rows. */
   def exactLimitMaxK(n: Long): Long = math.max(ExactLimitMinFloor, n / 1000L)
 
+  /** Absolute-funnel arm of the cutover (round 7): what actually bounds the
+    * exact plan is the MERGE-TASK load — LocalLimit keeps ≤ k rows per
+    * upstream task, so the single TakeOrdered merge sees ≤ P·k narrow rows.
+    * The constant floor hard-codes the documented worst case (P = 2000,
+    * k = 4096 → 8M rows); on a narrower execution (P = 32 local cores:
+    * P·k at k = 5620 is 180K rows, trivia) the same 8M-row budget admits a
+    * proportionally larger k, while at P = 2000 this arm reduces exactly to
+    * the old floor. P = defaultParallelism — the scheduler's own width, no
+    * plan materialization, no action (measured: q63's top-θ at sf0.1,
+    * k = 5620 of n = 562K, paid ~1.5 s of sketch actions the exact funnel
+    * does not). */
+  private val FunnelMaxRows = ExactLimitMinFloor * 2000L
+
+  def exactFunnelMaxK(parallelism: Int): Long =
+    FunnelMaxRows / math.max(1L, parallelism.toLong)
+
   /** Exact top-k rows of `df` by (`measureCol` desc, `keyCol` asc).
     * `knownN` skips the row count when the caller already has it. */
   def topK(dfIn: DataFrame, measureCol: String, keyCol: String, k: Long,
@@ -66,10 +82,13 @@ object SketchSelect {
     if (k <= ExactLimitMinFloor) exact
     else {
       val n = if (knownN >= 0) knownN else df.count()
+      val funnelK =
+        exactFunnelMaxK(dfIn.sparkSession.sparkContext.defaultParallelism)
       // the exact path must also clear limit()'s Int argument: at n beyond
       // ~4.4e12, n/1000 passes 2^31 and k.toInt would flip negative — route
       // those k to the sketch path, whose arithmetic is Long throughout
-      if (k <= exactLimitMaxK(n) && k <= Int.MaxValue.toLong) exact
+      if ((k <= exactLimitMaxK(n) || k <= funnelK) && k <= Int.MaxValue.toLong)
+        exact
       else sketchTopK(df, measureCol, keyCol, k, knownN = n)
     }
   }

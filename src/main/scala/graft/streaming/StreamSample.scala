@@ -57,18 +57,17 @@ object StreamSample {
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) + 1"))
       .withColumn("p_milli", expr("w * 4294967296 * 1000 div u"))
       .agg(topRows(col("p_milli"), col("doc_id"), col("w"), col("u")).as("top"))
+    // complete mode re-emits the one-row aggregate; the last bounded
+    // capture wins (see SliceReplay.CompleteCapture)
+    val cap = new SliceReplay.CompleteCapture
     val q = SliceReplay.startSized(spark, StatePartitions) {
       agg.writeStream.outputMode("complete")
         .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          // complete mode re-emits the one-row aggregate; last write wins
-          df.write.mode("overwrite").parquet(s"$root/out")
-        }
+        .foreachBatch(cap.sink _)
         .start()
     }
     lastRunBatches = SliceReplay.runToCompletion(q).batches
-    val rows = TopRowsCodec.deserialize(
-      spark.read.parquet(s"$root/out").head().getAs[Array[Byte]]("top"))
+    val rows = TopRowsCodec.deserialize(cap.headRow.getAs[Array[Byte]]("top"))
     require(rows.length == k + 1,
       s"priority sample needs k+1 = ${k + 1} rows for tau, got ${rows.length}")
     val tauMilli = rows(k)._1

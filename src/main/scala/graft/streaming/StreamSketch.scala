@@ -50,18 +50,18 @@ object StreamSketch {
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$root/in")
       .agg(cm_topk(col("k"), lit(1L), capacity = 4096, eps = 1e-4).as("sk"))
+    // complete mode re-emits the full (one-row) aggregate each micro-batch;
+    // the LAST capture is the final merged sketch (bounded driver collect —
+    // see SliceReplay.CompleteCapture)
+    val cap = new SliceReplay.CompleteCapture
     val q = SliceReplay.startSized(spark, StatePartitions) {
       sketch.writeStream.outputMode("complete")
         .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          // complete mode re-emits the full (one-row) aggregate each
-          // micro-batch; last write wins = the final merged sketch
-          df.write.mode("overwrite").parquet(s"$root/out")
-        }
+        .foreachBatch(cap.sink _)
         .start()
     }
     lastRunBatches = SliceReplay.runToCompletion(q).batches
-    spark.read.parquet(s"$root/out")
+    cap.result(spark)
       .select(explode(topk_entries(col("sk"), 20)).as("e"))
       .select(col("e.key").as("user_id"), col("e.est").as("est_count"))
       .orderBy(desc("est_count"), asc("user_id"))
@@ -95,16 +95,15 @@ object StreamSketch {
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$root/in")
       .agg(kll_sketch(col("x"), k = 65536).as("sk"))
+    val cap = new SliceReplay.CompleteCapture
     val q = SliceReplay.startSized(spark, StatePartitions) {
       sketch.writeStream.outputMode("complete")
         .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("overwrite").parquet(s"$root/out")
-        }
+        .foreachBatch(cap.sink _)
         .start()
     }
     lastKllRunBatches = SliceReplay.runToCompletion(q).batches
-    val sk = spark.read.parquet(s"$root/out")
+    val sk = cap.result(spark)
     Seq(0.01, 0.25, 0.5, 0.75, 0.99).toDF("p")
       .crossJoin(broadcast(sk))
       .select(col("p"), kll_quantile(col("sk"), col("p")).as("quantile_value"))
@@ -139,16 +138,15 @@ object StreamSketch {
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$root/in")
       .agg(hll_sketch(col("k")).as("sk"))
+    val cap = new SliceReplay.CompleteCapture
     val q = SliceReplay.startSized(spark, StatePartitions) {
       sketch.writeStream.outputMode("complete")
         .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("overwrite").parquet(s"$root/out")
-        }
+        .foreachBatch(cap.sink _)
         .start()
     }
     lastHllRunBatches = SliceReplay.runToCompletion(q).batches
-    val sk = spark.read.parquet(s"$root/out")
+    val sk = cap.result(spark)
     spark.read.schema(schema).parquet(s"$root/in")
       .agg(countDistinct(col("k")).as("exact_users"))
       .crossJoin(broadcast(sk))
@@ -184,16 +182,15 @@ object StreamSketch {
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$root/in")
       .agg(bloom_sketch(col("k"), expectedItems = 100000, fpp = 1e-9).as("sk"))
+    val cap = new SliceReplay.CompleteCapture
     val q = SliceReplay.startSized(spark, StatePartitions) {
       sketch.writeStream.outputMode("complete")
         .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("overwrite").parquet(s"$root/out")
-        }
+        .foreachBatch(cap.sink _)
         .start()
     }
     lastBloomRunBatches = SliceReplay.runToCompletion(q).batches
-    val sk = spark.read.parquet(s"$root/out")
+    val sk = cap.result(spark)
     val ord = Tables.orders(spark, sfDir)
     val probed = ord.crossJoin(broadcast(sk))
       .select(col("o_custkey"),
