@@ -373,8 +373,13 @@ object Multimodal {
     * frame dims. */
   def synthesize(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    // widened (round 7): the documents file is ONE input split, so the
+    // whole encode(+downstream decode) pipeline otherwise runs in a single
+    // task regardless of cores — the per-row codec work is exactly the
+    // heavy-kernel case Tables.widen exists for
+    graft.queries.Tables.widen(
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id")))
+      .as[Long]
       .map { id =>
         (id % 3) match {
           case 0 =>

@@ -74,7 +74,7 @@ object DedupClusterQuery {
       } else {
         edges.select(col("src").as("node")).distinct()
           .withColumn("label", col("node"))
-          .localCheckpoint()
+          .localCheckpoint(false) // lazy: round 1's action materializes it
       }
     var steps = 0
     while (changed > 0 && round < maxRounds && steps < failAfterRounds) {
@@ -83,14 +83,20 @@ object DedupClusterQuery {
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       // localCheckpoint (not just cache) TRUNCATES the lineage: without it
       // the plan doubles every round and round ~15's DAG alone stalls the
-      // driver at corpus scale
-      val next = labels
+      // driver at corpus scale. Round 7: the OLD label rides the frame, so
+      // the fixpoint test is a filter over the checkpointed rows instead of
+      // a join back onto the previous round (one fewer join per round), and
+      // the checkpoint is LAZY so the changed-count action below both
+      // materializes the round's blocks and counts in ONE job (two jobs +
+      // three joins per round → one job + two joins).
+      val nextWithOld = labels
         .join(viaNeighbors, labels("node") === viaNeighbors("src"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          labels("label").as("old"))
+        .localCheckpoint(false)
+      changed = nextWithOld.filter(col("label") =!= col("old")).count()
+      val next = nextWithOld.select(col("node"), col("label"))
       // release the superseded round's storage eagerly (cache entries and
       // localCheckpoint blocks otherwise wait for ContextCleaner GC — at
       // 10⁹ nodes that is up to maxRounds full label frames pinned)
@@ -144,7 +150,7 @@ object DedupClusterQuery {
         round = committed.last._1
         changed = committed.last._2
         spark.read.parquet(s"${ckptDir.get}/round-$round").localCheckpoint()
-      } else base.localCheckpoint()
+      } else base.localCheckpoint(false) // lazy: round 1 materializes it
     var steps = 0
     while (changed > 0 && round < maxRounds && steps < failAfterRounds) {
       // large-star over symmetric neighborhoods; min computed by groupBy +
@@ -165,9 +171,10 @@ object DedupClusterQuery {
         .filter(col("u") =!= col("v"))
         .unionAll(smallMins.select(col("u"), col("m").as("v"))) // u > min(Γ(u))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the diff count below materializes it
       // fixpoint test: signed multiset diff of the edge sets (the same
       // in-plan discipline as PairTiling.pairParity), one count per round
+      // — which doubles as the checkpoint-materializing action (round 7)
       changed = next.withColumn("__s", lit(1L))
         .unionAll(edges.withColumn("__s", lit(-1L)))
         .groupBy(col("u"), col("v")).agg(sum(col("__s")).as("__d"))

@@ -321,13 +321,22 @@ object OlapQueries {
   def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     resetTable(spark, "graft_li_bkt")
     resetTable(spark, "graft_ord_bkt")
+    // repartition onto the BUCKET hash before the write (round 7): bucketBy
+    // otherwise fans every upstream task into all 8 bucket files (T·8 small
+    // files, and at gate scale ONE scan task sorts and writes everything
+    // serially); pre-partitioned, the write runs 8 parallel tasks, each
+    // bucket lands as exactly one sorted file — which is also the layout
+    // the read side wants (single file per bucket preserves the sortBy
+    // order, so the join can skip its per-bucket re-sort)
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"),
         floor(col("l_quantity") * lit(1000000L)).cast("long").as("qty_micro"))
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("graft_li_bkt")
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"))
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_ord_bkt")
     spark.table("graft_li_bkt")

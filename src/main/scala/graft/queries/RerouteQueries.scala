@@ -147,6 +147,29 @@ object RerouteQueries {
   def findPathBB(src: Int, dst: Int, adj: Map[Int, Seq[Int]],
       loads: collection.Map[(Int, Int), Long], n: Int,
       shortestHops: Int): Option[Seq[Int]] = {
+    val sortedAdj = sortedAdjacency(n, adj)
+    val loadsArr = new Array[Long](n * n)
+    loads.foreach { case ((a, b), l) =>
+      loadsArr(a * n + b) = l; loadsArr(b * n + a) = l
+    }
+    findPathBBCore(src, dst, sortedAdj, loadsArr, n, shortestHops)
+  }
+
+  /** Ascending-id neighbor arrays — the DFS's deterministic expansion
+    * order, computed ONCE (the first cut re-sorted the neighbor Seq at
+    * every node expansion: an allocation + sort per visit, millions of
+    * times across a top-θ reroute run). */
+  private[queries] def sortedAdjacency(n: Int,
+      adj: Map[Int, Seq[Int]]): Array[Array[Int]] =
+    Array.tabulate(n)(u => adj.getOrElse(u, Nil).sorted.toArray)
+
+  /** The DFS core over primitive state: neighbor arrays + a flat n×n load
+    * array (symmetric) — no tuple key or Map lookup per edge. Search
+    * order, pruning rule and tie-breaks are IDENTICAL to the public
+    * signature (which now wraps this). */
+  private[queries] def findPathBBCore(src: Int, dst: Int,
+      sortedAdj: Array[Array[Int]], loadsArr: Array[Long], n: Int,
+      shortestHops: Int): Option[Seq[Int]] = {
     val maxLen = shortestHops + 4 + 1 // nodes, not edges
     var bestPath: List[Int] = null
     var bestLoad = Long.MaxValue
@@ -165,10 +188,12 @@ object RerouteQueries {
       }
       if (route.length >= maxLen) return
       visited(u) = true
-      // deterministic neighbor order: ascending id
-      adj.getOrElse(u, Nil).sorted.foreach { v =>
+      val nbrs = sortedAdj(u) // deterministic neighbor order: ascending id
+      var i = 0
+      while (i < nbrs.length) {
+        val v = nbrs(i)
         if (!visited(v)) {
-          val l = math.max(runningMax, loads.getOrElse(linkKey(u, v), 0L))
+          val l = math.max(runningMax, loadsArr(u * n + v))
           // prune on (bottleneck, length) against the incumbent
           val worse = l > bestLoad ||
             (l == bestLoad && route.length + 1 >= bestLen)
@@ -178,6 +203,7 @@ object RerouteQueries {
             route.remove(route.length - 1)
           }
         }
+        i += 1
       }
       visited(u) = false
     }
@@ -264,18 +290,40 @@ object RerouteQueries {
       : collection.mutable.Map[(Int, Int), Long] = {
     val adj = gridAdj()
     val dist = floydDistances(GridN, adj)
-    val loads = collection.mutable.Map.empty[(Int, Int), Long]
-    loadsIn.foreach { case (k, v) => loads(k) = v }
+    // flat symmetric n×n load array held ACROSS flows (round 7): the
+    // per-flow remove/search/re-add touches it via index arithmetic —
+    // no tuple key allocation or hash lookup per edge in the hot loop
+    val n = GridN
+    val sortedAdj = sortedAdjacency(n, adj)
+    val loadsArr = new Array[Long](n * n)
+    loadsIn.foreach { case ((a, b), l) =>
+      loadsArr(a * n + b) = l; loadsArr(b * n + a) = l
+    }
+    @inline def add(u: Int, v: Int, t: Long): Unit = {
+      loadsArr(u * n + v) += t; loadsArr(v * n + u) += t
+    }
     flows.foreach { case flow @ (_, s, d, t) =>
-      lPathEdges(s, d).foreach { e => loads(e) = loads.getOrElse(e, 0L) - t }
-      val path = findPathBB(s, d, adj, loads, GridN, dist(s)(d))
+      lPathEdges(s, d).foreach { case (a, b) => add(a, b, -t) }
+      val path = findPathBBCore(s, d, sortedAdj, loadsArr, n, dist(s)(d))
         .getOrElse(throw new IllegalStateException(
           s"grid is connected; no path $s -> $d can only be a kernel bug"))
-      path.sliding(2).foreach { case Seq(u, v) =>
-        val e = linkKey(u, v)
-        loads(e) = loads.getOrElse(e, 0L) + t
-      }
+      path.sliding(2).foreach { case Seq(u, v) => add(u, v, t) }
       onRoute(flow, path)
+    }
+    // hand back the map contract: canonical (a <= b) keys, non-zero loads
+    // plus any key the caller seeded (zeroed entries included, as before)
+    val loads = collection.mutable.Map.empty[(Int, Int), Long]
+    loadsIn.keys.foreach { case (a, b) =>
+      loads(linkKey(a, b)) = loadsArr(math.min(a, b) * n + math.max(a, b))
+    }
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n) {
+        if (loadsArr(a * n + b) != 0L) loads((a, b)) = loadsArr(a * n + b)
+        b += 1
+      }
+      a += 1
     }
     loads
   }

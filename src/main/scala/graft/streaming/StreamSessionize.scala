@@ -43,8 +43,16 @@ object StreamSessionize {
   private val WatermarkDelay = "30 minutes"
   private val WatermarkUs = 1800000000L
 
-  /** State-store layout width for the gate (see SliceReplay.startSized). */
-  private val StatePartitions = "8"
+  /** State-store layout width for the gate (see SliceReplay.startSized):
+    * sized to the gate's resident state (hundreds of rows), not the batch
+    * engine's shuffle width — every micro-batch pays one state-store
+    * commit PER PARTITION per stateful operator, so oversized layouts are
+    * pure fixed cost (interleaved A/B at sf0.1: 8 -> 2 partitions cut the
+    * gate 12-29% with identical results). A 100 TB run sizes this up to
+    * ~executor cores via SPARK_GRAFT_STATE_PARTITIONS. */
+  private def StatePartitions: String =
+    sys.props.getOrElse("graft.q75.state.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "2"))
 
   /** Progress of the most recent [[runStream]] (test evidence only). */
   @volatile private[graft] var lastRunBatches: Int = 0

@@ -110,22 +110,39 @@ object ProfileR07 {
     }
     // scratch-medium A/B, interleaved in ONE JVM (cross-run load bursts on
     // this shared VM poison cross-JVM comparisons)
+    def ab(name: String)(f: => Unit): Seq[(String, () => Unit)] = Seq(
+      s"$name.wideOFF" -> (() => { sys.props("graft.widen.off") = "1"; f }),
+      s"$name.wideON" -> (() => { sys.props.remove("graft.widen.off"); f }))
+    val qnames = Seq("q17_dedup_simhash", "q61_dedup_clusters_star",
+      "q73_source_overlap", "q81_pq_ann", "q84_quality_keeper",
+      "q108_minhash_estimator")
+    val abPaths = qnames.flatMap { n =>
+      ab(n.takeWhile(_ != '_')) {
+        graft.SparkEntry.queries(n)(spark, dir).count(): Unit
+      }
+    }
+    Bench.timeAllInterleaved(abPaths, cycles = 3,
+        teardown = () => spark.catalog.clearCache())
+      .toSeq.sortBy(_._1)
+      .foreach { case (n, s) => println(f"[prof] $n $s%.3f s") }
+    sys.props.remove("graft.widen.off")
+
     val paths: Seq[(String, () => Unit)] = Seq(
-      "q90.full.tmp" -> (() => {
-        sys.props("graft.stream.scratch") = "/tmp"
-        graft.streaming.StreamSketch.streamKllPrice(spark, dir).count(): Unit
-      }),
-      "q90.full.shm" -> (() => {
-        sys.props("graft.stream.scratch") = "/dev/shm"
-        graft.streaming.StreamSketch.streamKllPrice(spark, dir).count(): Unit
-      }),
-      "q93.full.tmp" -> (() => {
-        sys.props("graft.stream.scratch") = "/tmp"
+      "q93.state8" -> (() => {
+        sys.props("graft.q93.state.partitions") = "8"
         graft.streaming.StreamJoin.streamAttribution(spark, dir).count(): Unit
       }),
-      "q93.full.shm" -> (() => {
-        sys.props("graft.stream.scratch") = "/dev/shm"
+      "q93.state2" -> (() => {
+        sys.props("graft.q93.state.partitions") = "2"
         graft.streaming.StreamJoin.streamAttribution(spark, dir).count(): Unit
+      }),
+      "q75.state8" -> (() => {
+        sys.props("graft.q75.state.partitions") = "8"
+        graft.streaming.StreamSessionize.streamSessionStats(spark, dir).count(): Unit
+      }),
+      "q75.state2" -> (() => {
+        sys.props("graft.q75.state.partitions") = "2"
+        graft.streaming.StreamSessionize.streamSessionStats(spark, dir).count(): Unit
       }))
     Bench.timeAllInterleaved(paths, cycles = 3,
         teardown = () => spark.catalog.clearCache())
