@@ -86,9 +86,17 @@ object OlapQueries {
     val urgent = Tables.orders(spark, sfDir)
       .filter(col("o_orderpriority") === lit("1-URGENT"))
       .select(col("o_orderkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size the filter from the ACTUAL dimension cardinality (ADVICE r6:
+    // the fixed 1<<16 saturates at ~300K urgent keys on the decade corpus,
+    // passing nearly everything — a non-functional prefilter measured as if
+    // it worked; one count() at plan build is the accepted scalar-action
+    // pattern, and the dim frame is persisted for its three consumers:
+    // count, filter build, exact join)
+    val expected = math.max(1L << 16, urgent.count())
     val bloomHit = graft.agg.SketchFunctions.bloom_probe(
       urgent.agg(bloom_sketch(col("o_orderkey").cast("string"),
-        expectedItems = 1 << 16, fpp = 1e-3).as("bf")))
+        expectedItems = expected, fpp = 1e-3).as("bf")))
     val li = Tables.lineitem(spark, sfDir).select(
       col("l_orderkey"), col("l_returnflag").as("rf"),
       floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))

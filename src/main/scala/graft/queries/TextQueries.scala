@@ -438,7 +438,12 @@ object TextQueries {
   /** Prefix path over an already-built (persisted) bigram frame — shared
     * by the direct entry above and the dispatcher. */
   private def ngramJaccardPrefixOver(docs: DataFrame, tMicro: Long): DataFrame = {
-    val ex = docs.select(col("source"), col("doc_id"), explode(col("bigrams")).as("bg"))
+    // n rides along from the per-doc array size (round 7): the window pass
+    // below then computes ONLY the running row_number — the previous
+    // count().over(doc) second window function forced whole-partition
+    // buffering in the window operator for a number the array already knew
+    val ex = docs.select(col("source"), col("doc_id"),
+      col("n"), explode(col("bigrams")).as("bg"))
     val dfreq = ex.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     // Only df>1 tokens can move a row off the (df=1, bg) default order, so
     // the join back onto the exploded bigram stream — the plan's largest
@@ -467,7 +472,6 @@ object TextQueries {
     val pe = ex.join(hotSide, Seq("bg"), "left")
       .withColumn("df", coalesce(col("df"), lit(1L)))
       .withColumn("pos", row_number().over(wDoc.orderBy(col("df").asc, col("bg").asc)))
-      .withColumn("n", count(lit(1)).over(wDoc))
       // keep only the prefix: pos ≤ n − ⌈t·n⌉ + 1 (integer ceil via
       // integer div — float floor would round up past quotients ~2³³ and
       // shorten the prefix, voiding the recall-1 guarantee)

@@ -65,8 +65,13 @@ object StreamIncrDedup {
     val schema = SliceReplay.stage(spark, staged, slices, root)
 
     val probe = bloom_probe(spark.read.parquet(s"$dir/bloom"))
+    // persisted (round 7): the stream-static join re-evaluates the static
+    // side EVERY micro-batch — uncached, each batch re-scanned the index
+    // parquet and re-ran the distinct shuffle; the cached frame is the
+    // hash column only (released by the gate runners' clearCache contract)
     val index = spark.read.parquet(s"$dir/index")
       .select(col("h")).distinct().withColumn("in_base", lit(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
     val negatives = in.filter(!probe(col("h")))

@@ -177,11 +177,22 @@ object StreamSketch {
       .filter(col("c_custkey") % 3 === 0)
       .select(col("c_custkey").cast("string").as("k"),
         col("c_custkey").cast("long").as("tus"))
-    val schema = SliceReplay.stage(spark, members, slices, root)
+    // ONE bounds+count pass sizes BOTH the slice ranges and the filter
+    // (ADVICE r6: a fixed expectedItems=100000 saturates once the member
+    // dim outgrows it — the decade corpus has ~333K members, inflating
+    // effective fpp from 1e-9 to ~5% and divorcing bloom_positives from
+    // true_positives in bench output; sizing from the actual member count
+    // keeps the fpp contract at every scale, at no extra job — stage()
+    // skips its own bounds aggregate when handed the bounds)
+    val b = members.agg(min(col("tus")), max(col("tus")),
+      count(lit(1))).head()
+    val expected = math.max(100000L, b.getLong(2))
+    val schema = SliceReplay.stage(spark, members, slices, root,
+      bounds = Some((b.getLong(0), b.getLong(1))))
     val sketch = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$root/in")
-      .agg(bloom_sketch(col("k"), expectedItems = 100000, fpp = 1e-9).as("sk"))
+      .agg(bloom_sketch(col("k"), expectedItems = expected, fpp = 1e-9).as("sk"))
     val cap = new SliceReplay.CompleteCapture
     val q = SliceReplay.startSized(spark, StatePartitions) {
       sketch.writeStream.outputMode("complete")
