@@ -475,7 +475,8 @@ object AnnQueries {
     // widened: the embeddings file is one split, and everything below —
     // the Lloyd rounds, both assignment passes, the brute-force audit —
     // iterates over this cached frame (measured: 3.6 s -> 1.7 s at sf0.1)
-    val emb = Tables.widen(Tables.embeddings(spark, sfDir)).cache()
+    val emb = Tables.widen(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))).cache()
     val nprobe = math.max(6, math.ceil(emb.count().toDouble / 50.0 / 2.0).toInt)
     val ivf = ivfTopKOn(emb, every = 50, nprobe = nprobe)
       .select(col("query_id"), col("neighbor_id"))
@@ -723,7 +724,7 @@ object AnnQueries {
       : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     // cached: codebook seed scan + encode + queries + exact audit all read it
-    val emb = Tables.widen(embIn)
+    val emb = Tables.widen(embIn.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .cache()
     val subIdx = explode(expr(s"sequence(0, ${PqM - 1})"))

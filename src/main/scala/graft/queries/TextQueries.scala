@@ -72,7 +72,7 @@ object TextQueries {
     // most of q16's 18 s at sf0.1. The persisted projection is signatures
     // only (no text), ~1 KB/doc; MEMORY_AND_DISK so a 100× corpus spills
     // instead of evicting.
-    Tables.widen(docsIn)
+    Tables.widen(docsIn.select(col("doc_id"), col("text")))
       .select(col("doc_id"), sigUdf(col("text")).as("mh"))
       .select(col("doc_id"), col("mh._1").as("bands"), col("mh._2").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -124,7 +124,8 @@ object TextQueries {
     * of the blocked plan reference it; ~12 bytes/doc). */
   private def simhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val shUdf = udf((text: String) => TextAnalysis.simhash(text))
-    Tables.widen(Tables.documents(spark, sfDir))
+    Tables.widen(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), shUdf(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
@@ -195,7 +196,8 @@ object TextQueries {
     * array ops over longs are ~5x cheaper than strings; collision odds
     * ~|set|²/2⁶⁴ per pair — verified value-equal with the string oracle. */
   private def bigramDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.widen(Tables.documents(spark, sfDir))
+    Tables.widen(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"),
         sort_array(array_distinct(transform(wordBigrams(split(col("text"), " ")),
           b => xxhash64(b)))).as("bigrams"))
@@ -1586,8 +1588,8 @@ object TextQueries {
               element_at(toks, i + 2)).as("h1"),
             xxhash64(lit("g2"), element_at(toks, i), element_at(toks, i + 1),
               element_at(toks, i + 2)).as("h2"))))
-    Tables.widen(docs)
-      .filter(col("text").isNotNull)
+    Tables.widen(docs.filter(col("text").isNotNull)
+        .select(col("source"), col("text")))
       .select(col("source"), split(col("text"), " ").as("toks"))
       .select(col("source"), explode(array_distinct(hashedShingles)).as("g"))
       .select(col("source"), col("g.h1").as("h1"), col("g.h2").as("h2"))
