@@ -42,7 +42,8 @@ object GraphQueries {
     // each materialize independently — uncached, the upstream near-dup pair
     // derivation (q18's tiled Jaccard join) re-ran FOUR times inside one
     // gate call (union branches × {deg, out}); the cached frame is two long
-    // ids per pair, ~16 B/edge (measured: q107 4.89 s → ~2 s at sf0.1)
+    // ids per pair, ~16 B/edge (measured: q107 4.89 s → ~3.1 s at sf0.1;
+    // the 10× decade point 75.8 s → 28.9 s, BENCH_SCALING round-7 table)
     val pairs = pairsIn
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
