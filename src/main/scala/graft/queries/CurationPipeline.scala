@@ -24,7 +24,9 @@ object CurationPipeline {
     val nTok = size(toks).cast("double")
     val score = (least(lit(1.0), nTok / 100.0)
       + size(array_distinct(toks)).cast("double") / nTok
-      + size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).cast("double") / nTok) / 3.0
+      // round-7: translate-based alpha test (see DedupClusterQuery)
+      + size(filter(toks, t =>
+        (length(t) > 0) && (translate(t, "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz", "") === lit("")))).cast("double") / nTok) / 3.0
     docs
       .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
       .withColumn("score_decile", floor(score * 10.0))

@@ -248,7 +248,11 @@ object DedupClusterQuery {
     val nTok = size(toks).cast("double")
     val score = (least(lit(1.0), nTok / 100.0)
       + size(array_distinct(toks)).cast("double") / nTok
-      + size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).cast("double") / nTok
+      // all-ASCII-alpha token test as a codegen translate instead of a
+      // per-token java.util.regex match (round 7; provably equivalent:
+      // non-empty AND stripping the 52 letters empties the string)
+      + size(filter(toks, t =>
+        (length(t) > 0) && (translate(t, "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz", "") === lit("")))).cast("double") / nTok
       ) / 3.0
     val qual = docs.select(col("doc_id"),
       floor(score * 1000.0).cast("long").as("q"))

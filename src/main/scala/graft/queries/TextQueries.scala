@@ -540,7 +540,9 @@ object TextQueries {
     val nTok = size(toks).cast("double")
     val lengthNorm = least(lit(1.0), nTok / 100.0)
     val diversity = size(array_distinct(toks)).cast("double") / nTok
-    val alphaRatio = size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).cast("double") / nTok
+    // round-7: translate-based alpha test (see DedupClusterQuery)
+    val alphaRatio = size(filter(toks, t =>
+      (length(t) > 0) && (translate(t, "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz", "") === lit("")))).cast("double") / nTok
     val score = (lengthNorm + diversity + alphaRatio) / 3.0
     docs
       .withColumn("bucket", floor(score * 10.0).cast("long"))
